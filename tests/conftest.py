@@ -1,0 +1,19 @@
+"""Test configuration: force an 8-device virtual CPU platform so every
+multi-chip sharding path is exercised without TPU hardware (the standard
+fake-mesh trick; the reference has no distributed path at all —
+SURVEY.md §2.2)."""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,208 @@
+"""Typed configuration tree.
+
+Mirrors every key/default of the reference's plain-dict config module
+(reference: config.py:3-85) as frozen dataclasses, adds the TPU-specific
+knobs the reference lacks (mesh shape, dtype policy, fixed image buckets),
+and replaces the reference's ``eval(pretrain['model_name'])`` model lookup
+(reference: Pretrain.py:113) with an explicit registry key.
+
+Configs are plain dataclasses so they can be overridden from files or CLI
+flags without a framework dependency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class PretrainLossConfig:
+    """Landmark multi-task loss weights (reference: config.py:24-27)."""
+
+    alpha: float = 30.0  # location-loss weight
+    beta: float = 0.1  # classification-loss weight
+    ratio_non_background: float = 5.0  # background subsample multiple
+
+
+@dataclass(frozen=True)
+class PretrainConfig:
+    """Landmark-detector pretraining (reference: config.py:3-27).
+
+    TPU redesign: the reference trains batch_size=1 on variable-size
+    images (config.py:12); we resize/pad into a fixed ``image_size``
+    bucket so shapes are static under jit and batches are real.
+    """
+
+    txt_name: str = "list_landmarks_celeba.txt"
+    data_root_dir: str = "./data/CelebA"
+    log_root_dir: str = "./logs"
+    model_name: str = "mobilenet_v2"  # registry key, not eval()'d
+    train_data_ratio: float = 0.95
+    validation_data_ratio: float = 0.0005
+    batch_size: int = 64
+    optimizer: str = "sgd"
+    use_learning_rate_scheduler: bool = True
+    learning_rate_scheduler_milestone: Tuple[int, ...] = (10, 20, 30)
+    learning_rate_scheduler_gamma: float = 0.1
+    num_epochs: int = 5
+    log_step_of_batchs: int = 200
+    image_size: int = 256  # fixed bucket (TPU static shapes)
+    loss: PretrainLossConfig = field(default_factory=PretrainLossConfig)
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    """Optimizer hyperparameters (reference: config.py:31-35)."""
+
+    learning_rate: float = 5e-4
+    momentum: float = 0.9
+    nesterov: bool = True
+    weight_decay: float = 5e-4
+
+
+@dataclass(frozen=True)
+class GeneralConfig:
+    """General knobs (reference: config.py:39-40)."""
+
+    image_max_size: int = 1024
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """GAN training (reference: config.py:50-57)."""
+
+    img_list: str = "./img.list"
+    learning_rate: float = 1e-4
+    num_epochs: int = 50
+    batch_size: int = 50
+    log_step: int = 1000
+    resume_model: Optional[str] = None
+    resume_optimizer: Optional[str] = None
+    # TPU additions
+    checkpoint_dir: str = "./checkpoints"
+    checkpoint_every_steps: int = 1000
+    beta1: float = 0.5  # Adam betas, standard WGAN-GP practice
+    beta2: float = 0.9
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class GeneratorConfig:
+    """Generator hyperparameters (reference: config.py:60-64)."""
+
+    zdim: int = 64
+    use_residual_block: bool = False
+    use_batchnorm: bool = False
+    num_classes: int = 347
+
+
+@dataclass(frozen=True)
+class DiscriminatorConfig:
+    """Discriminator hyperparameters (reference: config.py:67-68)."""
+
+    use_batchnorm: bool = False
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """The 11 composite GAN loss weights (reference: config.py:71-82)."""
+
+    weight_gradient_penalty: float = 10.0
+    weight_128: float = 1.0
+    weight_64: float = 1.0
+    weight_32: float = 1.5
+    weight_pixelwise: float = 1.0
+    weight_pixelwise_local: float = 3.0
+    weight_symmetry: float = 3e-1
+    weight_adv_G: float = 1e-3
+    weight_identity_preserving: float = 3e1
+    weight_total_varation: float = 1e-3  # sic — key name kept for parity
+    weight_cross_entropy: float = 1e1
+
+
+@dataclass(frozen=True)
+class FeatureExtractConfig:
+    """Identity-embedder resume path (reference: config.py:84-85)."""
+
+    resume: str = "save/feature_extract_model/resnet18/try_1"
+    base_model_name: str = "resnet"
+    num_of_output_classes: int = 347
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """TPU device-mesh layout (no reference equivalent — the reference is
+    single-device, Pretrain.py:111-114). ``data`` is the batch (DP) axis,
+    ``model`` optionally shards wide channel dimensions (TP)."""
+
+    data: int = -1  # -1: use all remaining devices
+    model: int = 1
+    data_axis: str = "data"
+    model_axis: str = "model"
+
+
+@dataclass(frozen=True)
+class Config:
+    """Root config bundling all reference config groups."""
+
+    pretrain: PretrainConfig = field(default_factory=PretrainConfig)
+    optimizer_param: OptimizerConfig = field(default_factory=OptimizerConfig)
+    general: GeneralConfig = field(default_factory=GeneralConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    G: GeneratorConfig = field(default_factory=GeneratorConfig)
+    D: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    feature_extract_model: FeatureExtractConfig = field(
+        default_factory=FeatureExtractConfig
+    )
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    compute_dtype: str = "bfloat16"  # MXU-native compute precision
+    param_dtype: str = "float32"
+
+
+def _replace_nested(cfg: Any, overrides: Mapping[str, Any]) -> Any:
+    updates = {}
+    for key, value in overrides.items():
+        if not hasattr(cfg, key):
+            raise KeyError(f"unknown config key: {key!r} on {type(cfg).__name__}")
+        current = getattr(cfg, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, Mapping):
+            updates[key] = _replace_nested(current, value)
+        else:
+            updates[key] = value
+    return dataclasses.replace(cfg, **updates)
+
+
+def make_config(overrides: Optional[Mapping[str, Any]] = None) -> Config:
+    """Build a Config, optionally applying a nested-dict override tree.
+
+    Example::
+
+        cfg = make_config({"G": {"zdim": 128}, "train": {"batch_size": 8}})
+    """
+    cfg = Config()
+    if overrides:
+        cfg = _replace_nested(cfg, overrides)
+    return cfg
+
+
+def flat_override(cfg: Config, assignments: Sequence[str]) -> Config:
+    """Apply CLI-style ``a.b=value`` assignments (values parsed as Python
+    literals when possible, else kept as strings)."""
+    import ast
+
+    tree: dict = {}
+    for item in assignments:
+        path, _, raw = item.partition("=")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        node = tree
+        parts = path.strip().split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return _replace_nested(cfg, tree)
