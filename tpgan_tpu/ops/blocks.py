@@ -84,6 +84,7 @@ class Conv2d(nn.Module):
     stride: Union[int, Tuple[int, int]] = 1
     padding: Padding = 0
     use_bias: bool = True
+    groups: int = 1  # feature_group_count; groups == in_channels => depthwise
     kernel_init: Any = None  # Initializer; defaults to torch Conv2d default
     bias_init: Any = None
     dtype: Any = jnp.float32
@@ -98,7 +99,9 @@ class Conv2d(nn.Module):
 
         kinit = self.kernel_init or init_lib.torch_default_conv()
         kernel = self.param(
-            "kernel", kinit, (kh, kw, self.in_channels, self.out_channels)
+            "kernel",
+            kinit,
+            (kh, kw, self.in_channels // self.groups, self.out_channels),
         )
         x = x.astype(self.dtype)
         if reflect is not None:
@@ -109,10 +112,13 @@ class Conv2d(nn.Module):
             window_strides=(sh, sw),
             padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
             preferred_element_type=jnp.float32,
         )
         if self.use_bias:
-            binit = self.bias_init or init_lib.uniform_bias(kh * kw * self.in_channels)
+            binit = self.bias_init or init_lib.uniform_bias(
+                kh * kw * self.in_channels // self.groups
+            )
             bias = self.param("bias", binit, (self.out_channels,))
             y = y + bias.astype(jnp.float32)
         return y.astype(self.dtype)
