@@ -1,0 +1,240 @@
+"""Benchmark: TP-GAN frontalization synthesis throughput, imgs/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+* value: our full-size two-pathway Generator (bfloat16, jitted, NHWC) on
+  the default JAX device (the TPU chip under the driver), best over a
+  small batch sweep, steady-state, block_until_ready-bracketed.
+* vs_baseline: ratio against a PyTorch implementation of the same
+  reference architecture (D_and_G_model.py graph, float32, eval mode)
+  measured on this host's best torch device — the closest available
+  stand-in for the reference GPU path (the reference publishes no
+  numbers, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def bench_ours(batch_sizes=(32, 64), iters=20, warmup=3) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from tpgan_tpu.config import make_config
+    from tpgan_tpu.train.gan_trainer import create_gan_state, make_synthesize_fn
+
+    cfg = make_config({"compute_dtype": "bfloat16"})
+    state, gen, _d, _gt, _dt = create_gan_state(cfg, jax.random.PRNGKey(0))
+    synthesize = jax.jit(make_synthesize_fn(cfg, gen))
+
+    best = 0.0
+    for b in batch_sizes:
+        rng = np.random.RandomState(0)
+        batch = {
+            "img": jnp.asarray(rng.randn(b, 128, 128, 3).astype(np.float32)),
+            "left_eye": jnp.asarray(rng.randn(b, 40, 40, 3).astype(np.float32)),
+            "right_eye": jnp.asarray(rng.randn(b, 40, 40, 3).astype(np.float32)),
+            "nose": jnp.asarray(rng.randn(b, 32, 40, 3).astype(np.float32)),
+            "mouth": jnp.asarray(rng.randn(b, 32, 48, 3).astype(np.float32)),
+        }
+        z = jnp.zeros((b, 64), jnp.float32)
+        for _ in range(warmup):
+            synthesize(state.g_params, batch, z).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = synthesize(state.g_params, batch, z)
+        out.block_until_ready()
+        rate = b * iters / (time.perf_counter() - t0)
+        best = max(best, rate)
+    return best
+
+
+def bench_torch_reference(batch_size=8, iters=3, warmup=1) -> float:
+    """Same architecture in idiomatic torch (reference graph:
+    D_and_G_model.py; 75-channel fix applied as in our model), eval mode,
+    on torch's best available device."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    dev = "cuda" if torch.cuda.is_available() else "cpu"
+
+    def cba(i, o, k, s=1, p=0):
+        return nn.Sequential(nn.Conv2d(i, o, k, s, p), nn.LeakyReLU(0.01))
+
+    def res(c, k=3):
+        p = (k - 1) // 2
+        return nn.Sequential(cba(c, c, k, 1, p), nn.Conv2d(c, c, k, 1, p))
+
+    class Res(nn.Module):
+        def __init__(self, c, k=3):
+            super().__init__()
+            self.m = res(c, k)
+
+        def forward(self, x):
+            return F.leaky_relu(self.m(x) + x, 0.01)
+
+    class Local(nn.Module):
+        def __init__(self):
+            super().__init__()
+            ch = [64, 128, 256, 512]
+            self.e = nn.ModuleList()
+            cin = 3
+            for i, c in enumerate(ch):
+                self.e.append(
+                    nn.Sequential(cba(cin, c, 3, 1 if i == 0 else 2, 1), Res(c))
+                )
+                cin = c
+            self.d0 = nn.ConvTranspose2d(512, 256, 3, 2, 1, 1)
+            self.s0 = nn.Sequential(cba(512, 256, 3, 1, 1), Res(256))
+            self.d1 = nn.ConvTranspose2d(256, 128, 3, 2, 1, 1)
+            self.s1 = nn.Sequential(cba(256, 128, 3, 1, 1), Res(128))
+            self.d2 = nn.ConvTranspose2d(128, 64, 3, 2, 1, 1)
+            self.s2 = nn.Sequential(cba(128, 64, 3, 1, 1), Res(64))
+            self.head = nn.Conv2d(64, 3, 1)
+
+        def forward(self, x):
+            skips = []
+            h = x
+            for m in self.e:
+                h = m(h)
+                skips.append(h)
+            h = F.relu(self.d0(h))
+            h = self.s0(torch.cat([h, skips[2]], 1))
+            h = F.relu(self.d1(h))
+            h = self.s1(torch.cat([h, skips[1]], 1))
+            f = F.relu(self.d2(h))
+            h = self.s2(torch.cat([f, skips[0]], 1))
+            return self.head(h), f
+
+    class Global(nn.Module):
+        def __init__(self, zdim=64):
+            super().__init__()
+            spec = [(3, 64, 7, 1, 3), (64, 64, 5, 2, 2), (64, 128, 3, 2, 1),
+                    (128, 256, 3, 2, 1), (256, 512, 3, 2, 1)]
+            self.e = nn.ModuleList(
+                nn.Sequential(cba(*s), *([Res(s[1])] * (4 if i == 4 else 1)))
+                for i, s in enumerate(spec)
+            )
+            self.fc1 = nn.Linear(512 * 8 * 8, 512)
+            self.d8 = nn.ConvTranspose2d(256 + zdim, 64, 8)
+            self.d32 = nn.ConvTranspose2d(64, 32, 3, 4, 0, 1)
+            self.d64 = nn.ConvTranspose2d(32, 16, 3, 2, 1, 1)
+            self.d128 = nn.ConvTranspose2d(16, 8, 3, 2, 1, 1)
+            self.a8 = nn.Sequential(*[Res(576) for _ in range(3)])
+            self.u16 = nn.ConvTranspose2d(576, 512, 3, 2, 1, 1)
+            self.a16 = Res(256)
+            self.e16 = nn.Sequential(Res(768), Res(768))
+            self.u32 = nn.ConvTranspose2d(768, 256, 3, 2, 1, 1)
+            self.a32 = Res(160)
+            self.e32 = nn.Sequential(Res(416), Res(416))
+            self.u64 = nn.ConvTranspose2d(416, 128, 3, 2, 1, 1)
+            self.a64 = Res(80, 5)
+            self.e64 = nn.Sequential(Res(208), Res(208))
+            self.u128 = nn.ConvTranspose2d(208, 64, 3, 2, 1, 1)
+            self.a128 = Res(75, 7)
+            self.e128 = Res(64 + 75 + 64 + 3, 5)
+            self.head = nn.Sequential(
+                cba(206, 64, 5, 1, 2), Res(64), cba(64, 32, 3, 1, 1),
+                nn.Conv2d(32, 3, 3, 1, 1),
+            )
+
+        def forward(self, x, local_img, local_feat, z):
+            skips = []
+            h = x
+            for m in self.e:
+                h = m(h)
+                skips.append(h)
+            fc1 = self.fc1(h.flatten(1))
+            fc2 = fc1.view(-1, 256, 2).max(-1).values
+            t = torch.cat([fc2, z], 1)[:, :, None, None]
+            d8 = F.relu(self.d8(t))
+            d32 = F.relu(self.d32(d8))
+            d64 = F.relu(self.d64(d32))
+            d128 = F.relu(self.d128(d64))
+            h = self.a8(torch.cat([d8, skips[4]], 1))
+            h = F.relu(self.u16(h))
+            h = self.e16(torch.cat([h, self.a16(skips[3])], 1))
+            h = F.relu(self.u32(h))
+            h = self.e32(torch.cat([h, self.a32(torch.cat([d32, skips[2]], 1))], 1))
+            h = F.relu(self.u64(h))
+            h = self.e64(torch.cat([h, self.a64(torch.cat([d64, skips[1]], 1))], 1))
+            h = F.relu(self.u128(h))
+            a = self.a128(torch.cat([d128, skips[0], x], 1))
+            h = self.e128(torch.cat([h, a, local_feat, local_img], 1))
+            return self.head(h)
+
+    class Gen(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.parts = nn.ModuleList(Local() for _ in range(4))
+            self.g = Global()
+
+        def forward(self, img, le, re, no, mo, z):
+            outs = [m(p) for m, p in zip(self.parts, (le, re, no, mo))]
+
+            def place(t, top, left):
+                c = torch.zeros(
+                    t.shape[0], t.shape[1], 128, 128, device=t.device
+                )
+                c[:, :, top : top + t.shape[2], left : left + t.shape[3]] = t
+                return c
+
+            geom = [(19, 18), (18, 65), (47, 43), (72, 40)]
+            feat = torch.stack(
+                [place(o[1], *g) for o, g in zip(outs, geom)]
+            ).max(0).values
+            fake = torch.stack(
+                [place(o[0], *g) for o, g in zip(outs, geom)]
+            ).max(0).values
+            return self.g(img, fake, feat, z)
+
+    torch.set_grad_enabled(False)
+    model = Gen().to(dev).eval()
+    b = batch_size
+    args = [
+        torch.randn(b, 3, 128, 128, device=dev),
+        torch.randn(b, 3, 40, 40, device=dev),
+        torch.randn(b, 3, 40, 40, device=dev),
+        torch.randn(b, 3, 32, 40, device=dev),
+        torch.randn(b, 3, 32, 48, device=dev),
+        torch.randn(b, 64, device=dev),
+    ]
+    for _ in range(warmup):
+        model(*args)
+    if dev == "cuda":
+        torch.cuda.synchronize()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        model(*args)
+    if dev == "cuda":
+        torch.cuda.synchronize()
+    return b * iters / (time.perf_counter() - t0)
+
+
+def main():
+    ours = bench_ours()
+    try:
+        base = bench_torch_reference()
+    except Exception:
+        base = float("nan")
+    vs = ours / base if base and np.isfinite(base) else float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "tpgan_synthesis_imgs_per_sec_per_chip",
+                "value": round(ours, 2),
+                "unit": "imgs/s",
+                "vs_baseline": round(vs, 2) if np.isfinite(vs) else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

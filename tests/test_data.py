@@ -1,0 +1,212 @@
+"""Data layer tests: crop geometry golden vs PIL, CelebA parsing,
+Multi-PIE file protocol, pipeline batching/prefetch."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpgan_tpu.data import (
+    CelebALandmarkDataset,
+    TestDataset,
+    TrainDataset,
+    batch_iterator,
+    crop_patches,
+    crop_patches_batch,
+    frontal_twin_path,
+    parse_celeba_landmarks,
+    prefetch_to_device,
+    synthetic_gan_batch,
+)
+from tpgan_tpu.data.patches import PATCH_SIZES
+from tpgan_tpu.utils.misc import five_landmarks_from_68
+
+
+def test_crop_patches_matches_pil_reference_geometry():
+    """Golden: our numpy crop must equal PIL.Image.crop with the
+    reference's box arithmetic (DataAndDataset.py:46-54)."""
+    from PIL import Image
+    from math import floor
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(128, 128, 3) * 255).astype(np.uint8)
+    pim = Image.fromarray(img)
+    lm = np.asarray(
+        [[39.5, 40.2], [86.0, 38.7], [63.6, 63.6], [45.7, 90.0], [83.9, 88.7]],
+        np.float32,
+    )
+
+    got = crop_patches(img.astype(np.float32), lm)
+
+    centers = lm.copy()
+    centers[3, 0] = (lm[3, 0] + lm[4, 0]) / 2.0
+    centers[3, 1] = (lm[3, 1] + lm[4, 1]) / 2.0
+    for i, (name, (w, h)) in enumerate(PATCH_SIZES.items()):
+        x, y = floor(centers[i, 0]), floor(centers[i, 1])
+        want = np.asarray(
+            pim.crop((x - w // 2 + 1, y - h // 2 + 1, x + w // 2 + 1, y + h // 2 + 1)),
+            np.float32,
+        )
+        np.testing.assert_allclose(got[name], want, err_msg=name)
+
+
+def test_crop_patches_out_of_bounds_zero_padded():
+    img = np.ones((64, 64, 3), np.float32)
+    lm = np.asarray([[2, 2], [62, 2], [32, 32], [30, 62], [34, 62]], np.float32)
+    out = crop_patches(img, lm)
+    assert out["left_eye"].shape == (40, 40, 3)
+    # top-left eye crop extends past the border -> zero rows/cols
+    assert float(out["left_eye"][0, 0].sum()) == 0.0
+    assert float(out["left_eye"][-1, -1].sum()) == 3.0
+
+
+def test_crop_patches_batch_matches_host():
+    rng = np.random.RandomState(1)
+    imgs = rng.rand(2, 128, 128, 3).astype(np.float32)
+    lms = np.stack([
+        np.asarray([[39, 40], [86, 39], [64, 64], [46, 90], [84, 89]], np.float32),
+        np.asarray([[20, 30], [100, 30], [60, 70], [40, 100], [80, 100]], np.float32),
+    ])
+    got = crop_patches_batch(jnp.asarray(imgs), jnp.asarray(lms))
+    for b in range(2):
+        want = crop_patches(imgs[b], lms[b])
+        for name in PATCH_SIZES:
+            np.testing.assert_allclose(
+                np.asarray(got[name][b]), want[name], rtol=1e-6, err_msg=name
+            )
+
+
+def test_parse_celeba_landmarks(tmp_path):
+    txt = tmp_path / "list_landmarks_celeba.txt"
+    txt.write_text(
+        "2\n"
+        "lefteye_x lefteye_y righteye_x righteye_y nose_x nose_y "
+        "leftmouth_x leftmouth_y rightmouth_x rightmouth_y\n"
+        "000001.jpg 165 184 244 176 196 249 194 271 266 260\n"
+        "000002.jpg 140 204 220 204 168 254 146 289 226 289\n"
+    )
+    labels = parse_celeba_landmarks(str(txt))
+    assert set(labels) == {"000001.jpg", "000002.jpg"}
+    want_mouth = ((194 + 266) // 2, (271 + 260) // 2)
+    np.testing.assert_allclose(labels["000001.jpg"][6:], want_mouth)
+
+
+def test_celeba_dataset_end_to_end(tmp_path):
+    from PIL import Image
+
+    root = tmp_path / "celeba"
+    root.mkdir()
+    (root / "imgs").mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        arr = (rng.rand(218, 178, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / "imgs" / f"{i:06d}.jpg")
+    lines = ["3", "header"]
+    for i in range(3):
+        lines.append(f"{i:06d}.jpg 60 100 120 100 90 140 70 170 110 170")
+    (root / "list_landmarks_celeba.txt").write_text("\n".join(lines) + "\n")
+
+    ds = CelebALandmarkDataset(
+        "list_landmarks_celeba.txt", str(root), image_size=128
+    )
+    assert len(ds) == 3
+    img, label = ds[0]
+    assert img.shape == (128, 128, 3)
+    assert label.shape == (8,)
+    # landmarks scaled into the bucket: 218-high source -> scale 128/218
+    scale = 128 / 218
+    pad_left = (128 - int(round(178 * scale))) // 2
+    np.testing.assert_allclose(label[0], 60 * scale + pad_left, atol=1.0)
+
+    tr, va, te = ds.split(0.5, 0.25)
+    assert len(tr) == 1 and len(va) == 0 and len(te) == 2
+
+
+def test_frontal_twin_protocol():
+    p = "data/session01/001_01_01_140_07.png"
+    assert frontal_twin_path(p) == "data/session01/001_01_01_051_07.png"
+
+
+def test_train_dataset_protocol(tmp_path):
+    """Build the sibling-directory layout the reference expects
+    (DataAndDataset.py:206-215) and check the 15-tensor contract."""
+    from PIL import Image
+
+    root = tmp_path / "mpie"
+    split = root / "train"
+    for sub in ["train", "32x32", "64x64"]:
+        (root / sub).mkdir(parents=True)
+    for part in PATCH_SIZES:
+        (root / "patch" / part).mkdir(parents=True)
+
+    rng = np.random.RandomState(0)
+
+    def save(path, h, w):
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(path)
+
+    for cam in ["140", "051"]:
+        name = f"007_01_01_{cam}_00.png"
+        save(split / name, 128, 128)
+        save(root / "32x32" / name, 32, 32)
+        save(root / "64x64" / name, 64, 64)
+        for part, (w, h) in PATCH_SIZES.items():
+            save(root / "patch" / part / name, h, w)
+
+    ds = TrainDataset([str(split / "007_01_01_140_00.png")])
+    item = ds[0]
+    assert item["img"].shape == (128, 128, 3)
+    assert item["img32_frontal"].shape == (32, 32, 3)
+    assert item["mouth_frontal"].shape == (32, 48, 3)
+    assert int(item["label"]) == 7
+    # [-1, 1] normalisation (DataAndDataset.py:218-220)
+    assert item["img"].min() >= -1.0 and item["img"].max() <= 1.0
+
+
+def test_test_dataset_preprocessing(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    p = tmp_path / "probe.png"
+    Image.fromarray((rng.rand(200, 180, 3) * 255).astype(np.uint8)).save(p)
+    lm68 = rng.rand(68, 2) * 150 + 10
+    lm_str = " ".join(str(float(v)) for v in lm68.reshape(-1))
+    ds = TestDataset([str(p)], [lm_str])
+    item = ds[0]
+    assert item["img"].shape == (128, 128, 3)
+    assert item["img64"].shape == (64, 64, 3)
+    assert item["img32"].shape == (32, 32, 3)
+    assert item["mouth"].shape == (32, 48, 3)
+    assert item["img"].min() >= -1.0
+
+
+def test_batch_iterator_and_prefetch():
+    class Toy:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            if i == 3:
+                return None  # dropped item (oversize filter semantics)
+            return {"x": np.full((2, 2), i, np.float32)}
+
+    batches = list(
+        batch_iterator(Toy(), 4, shuffle=False, epochs=1, num_workers=2)
+    )
+    assert len(batches) == 2
+    assert batches[0]["x"].shape[0] in (3, 4)
+
+    staged = list(prefetch_to_device(iter(batches), size=2))
+    assert len(staged) == 2
+    assert np.asarray(staged[0]["x"]).shape == batches[0]["x"].shape
+
+
+def test_synthetic_batch_contract():
+    from tpgan_tpu.train.gan_trainer import example_batch
+
+    syn = synthetic_gan_batch(2)
+    ex = example_batch(2)
+    assert set(syn) == set(ex)
+    for k in ex:
+        assert syn[k].shape == ex[k].shape, k

@@ -77,12 +77,12 @@ def test_extract_parts_roundtrip():
 
 def test_local_pathway_shapes():
     mod = LocalPathway(use_batchnorm=False, fm_multiplier=0.25)
-    v = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 40, 40, 3)))
-    img, feat = mod.apply(v, jnp.ones((2, 40, 40, 3)))
+    v = jax.jit(mod.init)(jax.random.PRNGKey(0), jnp.zeros((1, 40, 40, 3)))
+    img, feat = jax.jit(mod.apply)(v, jnp.ones((2, 40, 40, 3)))
     assert img.shape == (2, 40, 40, 3)
     assert feat.shape == (2, 40, 40, 64)
     # also on the non-square mouth patch (48x32 WxH => 32x48 HxW)
-    img2, feat2 = mod.apply(v, jnp.ones((2, 32, 48, 3)))
+    img2, feat2 = jax.jit(mod.apply)(v, jnp.ones((2, 32, 48, 3)))
     assert img2.shape == (2, 32, 48, 3)
 
 
@@ -92,11 +92,11 @@ def test_global_pathway_shapes():
     mod = GlobalPathway(zdim=64, use_batchnorm=False, fm_multiplier=0.25,
                         local_feature_layer_dim=16)
     x = jnp.zeros((1, 128, 128, 3))
-    v = mod.init(
+    v = jax.jit(mod.init)(
         jax.random.PRNGKey(0), x, jnp.zeros((1, 128, 128, 3)),
         jnp.zeros((1, 128, 128, 16)), jnp.zeros((1, 64)),
     )
-    img, fc2 = mod.apply(
+    img, fc2 = jax.jit(mod.apply)(
         v, jnp.ones((2, 128, 128, 3)), jnp.ones((2, 128, 128, 3)),
         jnp.ones((2, 128, 128, 16)), jnp.ones((2, 64)),
     )
@@ -116,8 +116,8 @@ def test_generator_full_forward():
         mouth=jnp.zeros((1, 32, 48, 3)),
         z=jnp.zeros((1, 64)),
     )
-    v = mod.init(jax.random.PRNGKey(0), **args)
-    out = mod.apply(v, **args)
+    v = jax.jit(lambda k: mod.init(k, **args))(jax.random.PRNGKey(0))
+    out = jax.jit(lambda v: mod.apply(v, **args))(v)
     assert out.img128_fake.shape == (1, 128, 128, 3)
     assert out.encoder_predict.shape == (1, 347)
     assert out.local_fake.shape == (1, 128, 128, 3)
@@ -139,18 +139,18 @@ def test_generator_dropout_rng():
         mouth=jnp.zeros((1, 32, 48, 3)),
         z=jnp.zeros((1, 64)),
     )
-    v = mod.init(jax.random.PRNGKey(0), **args)
-    out = mod.apply(
-        v, **args, use_dropout=True, rngs={"dropout": jax.random.PRNGKey(1)}
-    )
+    v = jax.jit(lambda k: mod.init(k, **args))(jax.random.PRNGKey(0))
+    out = jax.jit(
+        lambda v, k: mod.apply(v, **args, use_dropout=True, rngs={"dropout": k})
+    )(v, jax.random.PRNGKey(1))
     assert out.encoder_predict.shape == (1, 10)
 
 
 def test_discriminator_patchgan_output():
     """4x4 local realism map on 128x128 input (D_and_G_model.py:430)."""
     mod = Discriminator(use_batchnorm=False, fm_multiplier=0.25)
-    v = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
-    y = mod.apply(v, jnp.ones((3, 128, 128, 3)))
+    v = jax.jit(mod.init)(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    y = jax.jit(mod.apply)(v, jnp.ones((3, 128, 128, 3)))
     assert y.shape == (3, 4, 4, 1)
 
 
@@ -165,7 +165,7 @@ def test_generator_jit_compiles():
         jnp.zeros((1, 32, 48, 3)),
         jnp.zeros((1, 64)),
     )
-    v = mod.init(jax.random.PRNGKey(0), *args)
+    v = jax.jit(lambda k: mod.init(k, *args))(jax.random.PRNGKey(0))
 
     @jax.jit
     def fwd(params, *a):

@@ -1,0 +1,87 @@
+"""End-to-end GAN train step (BASELINE config 3): fused D+G WGAN-GP
+alternation runs, losses are finite, parameters change, and the step jits
+with donated state."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpgan_tpu.config import make_config
+from tpgan_tpu.train.gan_trainer import (
+    create_gan_state,
+    example_batch,
+    make_gan_train_step,
+)
+
+SMALL = {
+    "G": {"fm_multiplier": 0.25, "local_feature_layer_dim": 16},
+    "D": {"fm_multiplier": 0.25},
+    "compute_dtype": "float32",
+}
+
+
+def _rand_batch(rng, b=2):
+    batch = example_batch(b)
+    out = {}
+    for k, v in batch.items():
+        if v.dtype == jnp.int32:
+            out[k] = jnp.asarray(rng.randint(0, 347, v.shape), jnp.int32)
+        else:
+            out[k] = jnp.asarray(rng.randn(*v.shape).astype(np.float32) * 0.5)
+    return out
+
+
+def test_gan_train_step_runs_and_updates():
+    cfg = make_config(SMALL)
+    state, gen, disc, g_tx, d_tx = create_gan_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(
+        make_gan_train_step(cfg, gen, disc, g_tx, d_tx), donate_argnums=0
+    )
+
+    rng = np.random.RandomState(0)
+    batch = _rand_batch(rng)
+
+    g_kernel_before = np.asarray(
+        state.g_params["global_pathway"]["conv0_conv"]["conv"]["kernel"]
+    )
+    d_kernel_before = np.asarray(state.d_params["conv0"]["conv"]["kernel"])
+
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+
+    assert int(state2.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    # both networks actually moved
+    assert not np.allclose(
+        np.asarray(state2.g_params["global_pathway"]["conv0_conv"]["conv"]["kernel"]),
+        g_kernel_before,
+    )
+    assert not np.allclose(
+        np.asarray(state2.d_params["conv0"]["conv"]["kernel"]), d_kernel_before
+    )
+    # gradient penalty engaged
+    assert float(metrics["d_gradient_penalty"]) > 0.0
+
+    # second step reuses the compiled program
+    batch2 = _rand_batch(np.random.RandomState(2))
+    state3, m2 = step(state2, batch2, jax.random.PRNGKey(2))
+    assert int(state3.step) == 2
+    assert np.isfinite(float(m2["g_loss"]))
+
+
+def test_identity_embed_hook():
+    """The identity-preserving term flows through a provided embedder."""
+    cfg = make_config(SMALL)
+    state, gen, disc, g_tx, d_tx = create_gan_state(cfg, jax.random.PRNGKey(0))
+
+    def fake_embed(x):  # stand-in embedder: global average pool
+        return jnp.mean(x, axis=(1, 2))
+
+    step = jax.jit(
+        make_gan_train_step(cfg, gen, disc, g_tx, d_tx, identity_embed=fake_embed),
+        donate_argnums=0,
+    )
+    batch = _rand_batch(np.random.RandomState(1))
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert float(metrics["g_identity_preserving"]) > 0.0

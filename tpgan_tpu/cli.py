@@ -1,0 +1,229 @@
+"""Command-line entry points: ``pretrain``, ``train``, ``synthesize``
+(the reference exposes only bare scripts with no CLI — Pretrain.py run as
+__main__, all knobs from config.py; SURVEY.md §1 L5).
+
+Usage::
+
+    python -m tpgan_tpu.cli pretrain  --set pretrain.batch_size=32
+    python -m tpgan_tpu.cli train     --set train.batch_size=8 --steps 1000
+    python -m tpgan_tpu.cli synthesize --image probe.png --landmarks lm.txt \
+        --checkpoint ckpts --output out.png
+
+Every ``--set a.b=value`` overrides the typed config tree
+(tpgan_tpu.config mirrors every reference config.py key).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _build_config(args):
+    from tpgan_tpu.config import flat_override, make_config
+
+    cfg = make_config()
+    if args.set:
+        cfg = flat_override(cfg, args.set)
+    return cfg
+
+
+def cmd_pretrain(args) -> int:
+    import jax
+
+    from tpgan_tpu.data.celeba import CelebALandmarkDataset
+    from tpgan_tpu.data.pipeline import batch_iterator
+    from tpgan_tpu.train.metrics import MetricWriter
+    from tpgan_tpu.train.pretrain import run_pretrain
+
+    cfg = _build_config(args)
+    p = cfg.pretrain
+    ds = CelebALandmarkDataset(p.txt_name, p.data_root_dir, p.image_size)
+    train_idx, val_idx, _ = ds.split(p.train_data_ratio, p.validation_data_ratio)
+    steps_per_epoch = max(len(train_idx) // p.batch_size, 1)
+
+    train_it = batch_iterator(
+        ds, p.batch_size, shuffle=True, indices=train_idx, epochs=None
+    )
+
+    def val_batches():
+        return batch_iterator(
+            ds, p.batch_size, shuffle=False, indices=val_idx, epochs=1
+        )
+
+    writer = MetricWriter(os.path.join(p.log_root_dir, p.model_name))
+    run_pretrain(
+        cfg,
+        train_it,
+        val_batches_fn=val_batches if val_idx else None,
+        steps_per_epoch=steps_per_epoch,
+        writer=writer,
+        checkpoint_dir=args.checkpoint or cfg.train.checkpoint_dir,
+    )
+    writer.close()
+    return 0
+
+
+def cmd_train(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from tpgan_tpu.data.multipie import TrainDataset
+    from tpgan_tpu.data.pipeline import batch_iterator, prefetch_to_device
+    from tpgan_tpu.parallel.mesh import make_mesh
+    from tpgan_tpu.parallel.sharding import batch_shardings, shard_gan_state
+    from tpgan_tpu.train.checkpoint import (
+        latest_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from tpgan_tpu.train.gan_trainer import (
+        create_gan_state,
+        make_gan_train_step,
+    )
+    from tpgan_tpu.train.metrics import MetricWriter, NaNMonitor, Throughput
+
+    cfg = _build_config(args)
+    with open(cfg.train.img_list) as f:
+        img_list = [line.strip() for line in f if line.strip()]
+    ds = TrainDataset(img_list)
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    state, gen, disc, g_tx, d_tx = create_gan_state(cfg, rng)
+
+    identity_embed = None
+    if args.identity_checkpoint:
+        from tpgan_tpu.models.feature_extract import (
+            FeatureExtractModel,
+            make_identity_embed_fn,
+        )
+        from tpgan_tpu.train.checkpoint import restore_checkpoint as rc
+
+        fx = FeatureExtractModel(
+            base_model_name=cfg.feature_extract_model.base_model_name,
+            num_of_output_classes=cfg.feature_extract_model.num_of_output_classes,
+        )
+        fx_vars = jax.jit(fx.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
+        )
+        fx_vars = rc(args.identity_checkpoint, fx_vars)
+        identity_embed = make_identity_embed_fn(fx, fx_vars)
+
+    ckpt_dir = args.checkpoint or cfg.train.checkpoint_dir
+    if cfg.train.resume_model or (args.resume and latest_step(ckpt_dir) is not None):
+        state = restore_checkpoint(cfg.train.resume_model or ckpt_dir, state)
+
+    mesh = make_mesh(cfg.mesh)
+    state_sh = shard_gan_state(mesh, state)
+    state = jax.tree.map(jax.device_put, state, state_sh)
+
+    step_fn = make_gan_train_step(cfg, gen, disc, g_tx, d_tx, identity_embed)
+    from tpgan_tpu.train.gan_trainer import example_batch
+
+    batch_sh = batch_shardings(mesh, example_batch(cfg.train.batch_size))
+    jit_step = jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_sh, None),
+        out_shardings=(state_sh, None),
+        donate_argnums=0,
+    )
+
+    writer = MetricWriter(args.log_dir or "./logs/gan")
+    monitor = NaNMonitor()
+    throughput = Throughput()
+    steps_total = args.steps or cfg.train.num_epochs * max(
+        len(ds) // cfg.train.batch_size, 1
+    )
+
+    it = prefetch_to_device(
+        batch_iterator(ds, cfg.train.batch_size, shuffle=True, epochs=None),
+        size=2,
+    )
+    throughput.start()
+    for i, batch in enumerate(it):
+        if i >= steps_total:
+            break
+        rng, srng = jax.random.split(rng)
+        state, metrics = jit_step(state, batch, srng)
+        throughput.count(cfg.train.batch_size)
+        if (i + 1) % 10 == 0:
+            monitor.check(i + 1, metrics)
+            metrics = dict(metrics)
+            metrics["imgs_per_sec"] = throughput.rate(metrics["g_loss"])
+            writer.write(i + 1, metrics)
+            throughput.start()
+        if (i + 1) % cfg.train.checkpoint_every_steps == 0:
+            save_checkpoint(ckpt_dir, i + 1, jax.device_get(state))
+    save_checkpoint(ckpt_dir, int(state.step), jax.device_get(state))
+    writer.close()
+    return 0
+
+
+def cmd_synthesize(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from tpgan_tpu.data.multipie import TestDataset
+    from tpgan_tpu.train.checkpoint import restore_checkpoint
+    from tpgan_tpu.train.gan_trainer import create_gan_state, make_synthesize_fn
+
+    cfg = _build_config(args)
+    with open(args.landmarks) as f:
+        lm = f.read().strip()
+    ds = TestDataset([args.image], [lm])
+    item = ds[0]
+
+    state, gen, *_ = create_gan_state(cfg, jax.random.PRNGKey(0))
+    if args.checkpoint:
+        state = restore_checkpoint(args.checkpoint, state)
+    synthesize = jax.jit(make_synthesize_fn(cfg, gen))
+    batch = {k: jnp.asarray(v)[None] for k, v in item.items()}
+    z = jax.random.normal(jax.random.PRNGKey(args.seed), (1, cfg.G.zdim))
+    out = np.asarray(synthesize(state.g_params, batch, z))[0]
+
+    from PIL import Image
+
+    img = ((np.clip(out, -1, 1) + 1) * 127.5).astype(np.uint8)
+    Image.fromarray(img).save(args.output)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(prog="tpgan_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def common(p):
+        p.add_argument("--set", action="append", default=[],
+                       help="config override a.b=value (repeatable)")
+        p.add_argument("--checkpoint", default=None)
+
+    p = sub.add_parser("pretrain", help="landmark-detector pretraining")
+    common(p)
+
+    p = sub.add_parser("train", help="TP-GAN WGAN-GP training")
+    common(p)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--identity-checkpoint", default=None)
+    p.add_argument("--log-dir", default=None)
+
+    p = sub.add_parser("synthesize", help="profile -> frontal synthesis")
+    common(p)
+    p.add_argument("--image", required=True)
+    p.add_argument("--landmarks", required=True,
+                   help="file with 68 space-separated landmark coords")
+    p.add_argument("--output", default="frontal.png")
+    p.add_argument("--seed", type=int, default=0)
+
+    args = parser.parse_args(argv)
+    return {"pretrain": cmd_pretrain, "train": cmd_train,
+            "synthesize": cmd_synthesize}[args.command](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -96,6 +96,10 @@ class GeneratorConfig:
     use_residual_block: bool = False
     use_batchnorm: bool = False
     num_classes: int = 347
+    # TPU additions (the reference ctors expose FM_multiplier too,
+    # D_and_G_model.py:19,162,410)
+    fm_multiplier: float = 1.0
+    local_feature_layer_dim: int = 64
 
 
 @dataclass(frozen=True)
@@ -103,6 +107,7 @@ class DiscriminatorConfig:
     """Discriminator hyperparameters (reference: config.py:67-68)."""
 
     use_batchnorm: bool = False
+    fm_multiplier: float = 1.0
 
 
 @dataclass(frozen=True)

