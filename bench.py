@@ -54,7 +54,7 @@ def bench_ours(batch_sizes=(32, 64), iters=20, warmup=3) -> float:
     return best
 
 
-def bench_torch_reference(batch_size=8, iters=3, warmup=1) -> float:
+def bench_torch_reference(batch_size=2, iters=2, warmup=1) -> float:
     """Same architecture in idiomatic torch (reference graph:
     D_and_G_model.py; 75-channel fix applied as in our model), eval mode,
     on torch's best available device."""

@@ -1,0 +1,101 @@
+"""Integration: the full pretrain driver on synthetic data — a few real
+steps with validation, metrics, and checkpointing (BASELINE config 4
+pipeline; reference loop Pretrain.py:151-307)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpgan_tpu.config import make_config
+from tpgan_tpu.train.metrics import MetricWriter, NaNMonitor
+from tpgan_tpu.train.pretrain import (
+    create_pretrain_state,
+    landmark_accuracy,
+    make_eval_step,
+    make_pretrain_step,
+    run_pretrain,
+)
+
+SIZE = 64
+CFG = make_config(
+    {
+        "pretrain": {
+            "image_size": SIZE,
+            "num_epochs": 1,
+            "batch_size": 2,
+            "log_step_of_batchs": 2,
+        }
+    }
+)
+
+
+def _batches(n, b=2, seed=0):
+    rng = np.random.RandomState(seed)
+    for _ in range(n):
+        yield (
+            rng.rand(b, SIZE, SIZE, 3).astype(np.float32),
+            rng.rand(b, 8).astype(np.float32) * SIZE,
+        )
+
+
+def test_pretrain_step_updates_and_is_finite():
+    state, model, tx = create_pretrain_state(CFG, jax.random.PRNGKey(0))
+    step = jax.jit(make_pretrain_step(CFG, model, tx), donate_argnums=0)
+    images, labels = next(_batches(1))
+    before = np.asarray(state.params["stem"]["kernel"]).copy()
+    state, metrics = step(
+        state, jnp.asarray(images), jnp.asarray(labels), jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["accuracy"]) <= 1.0
+    assert not np.allclose(np.asarray(state.params["stem"]["kernel"]), before)
+    # BN running stats moved (train mode)
+    assert not np.allclose(
+        np.asarray(state.batch_stats["stem_bn"]["mean"]), 0.0
+    )
+
+
+def test_run_pretrain_driver(tmp_path):
+    writer = MetricWriter(str(tmp_path / "logs"), use_tensorboard=False)
+    state = run_pretrain(
+        CFG,
+        _batches(4),
+        val_batches_fn=lambda: _batches(1, seed=9),
+        steps_per_epoch=4,
+        writer=writer,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    writer.close()
+    assert int(state.step) == 4
+    # epoch checkpoint written
+    from tpgan_tpu.train.checkpoint import latest_step
+
+    assert latest_step(str(tmp_path / "ckpt")) == 4
+    # metrics mirrored to jsonl
+    assert (tmp_path / "logs" / "metrics.jsonl").exists()
+
+
+def test_landmark_accuracy_bands():
+    # perfect prediction -> weight 1.0 band
+    pts = jnp.zeros((1, 5, 1, 2))
+    labels = jnp.zeros((1, 8))
+    valid = jnp.ones((1, 5, 1), bool)
+    acc = landmark_accuracy(pts, valid, labels)
+    np.testing.assert_allclose(float(acc), 1.0)
+    # distance 20 falls in the (18, 30] band => 0.35
+    pts2 = jnp.full((1, 5, 1, 2), 0.0).at[:, :, :, 0].set(20.0)
+    acc2 = landmark_accuracy(pts2, valid, labels)
+    np.testing.assert_allclose(float(acc2), 0.35, rtol=1e-6)
+    # invalid predictions score zero
+    acc3 = landmark_accuracy(pts, jnp.zeros((1, 5, 1), bool), labels)
+    np.testing.assert_allclose(float(acc3), 0.0)
+
+
+def test_nan_monitor():
+    import pytest
+
+    m = NaNMonitor()
+    m.check(0, {"ok": 1.0})
+    with pytest.raises(FloatingPointError):
+        m.check(1, {"bad": float("nan")})

@@ -86,6 +86,9 @@ class TrainConfig:
     beta1: float = 0.5  # Adam betas, standard WGAN-GP practice
     beta2: float = 0.9
     seed: int = 0
+    remat: bool = False  # rematerialise the G forward in backward passes
+    # (jax.checkpoint): trades recompute FLOPs for HBM, enabling larger
+    # per-chip batches
 
 
 @dataclass(frozen=True)

@@ -24,9 +24,8 @@ from tpgan_tpu.losses.pixel import (
     l1,
     local_pixel_loss,
     multiscale_pixel_loss,
-    symmetry_loss,
-    total_variation,
 )
+from tpgan_tpu.ops.pallas_kernels import symmetry_tv_losses
 
 
 def generator_loss_components(
@@ -45,6 +44,8 @@ def generator_loss_components(
 ) -> Dict[str, jnp.ndarray]:
     """Every G-loss component, unweighted (weights applied in
     :func:`total_generator_loss` so metrics can log both)."""
+    # symmetry + TV in one fused pass (Pallas on TPU)
+    sym, tv = symmetry_tv_losses(fake128)
     comps = {
         "adv_G": generator_adversarial_loss(fake_scores),
         "pixelwise": multiscale_pixel_loss(
@@ -52,8 +53,8 @@ def generator_loss_components(
             cfg.weight_128, cfg.weight_64, cfg.weight_32,
         ),
         "pixelwise_local": local_pixel_loss(fused_local_fake, fused_local_frontal),
-        "symmetry": symmetry_loss(fake128),
-        "total_variation": total_variation(fake128),
+        "symmetry": sym,
+        "total_variation": tv,
         "cross_entropy": jnp.mean(
             optax.softmax_cross_entropy_with_integer_labels(
                 encoder_predict.astype(jnp.float32), labels

@@ -11,7 +11,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from tpgan_tpu.models.global_pathway import GlobalPathway
-from tpgan_tpu.models.local_fuser import fuse_parts
+from tpgan_tpu.ops.pallas_kernels import fuse_parts_pallas as fuse_parts
 from tpgan_tpu.models.local_pathway import LocalPathway
 from tpgan_tpu.ops import initializers as init_lib
 from tpgan_tpu.ops.blocks import LinearBlock

@@ -26,17 +26,7 @@ from typing import Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 
-CANVAS_SIZE = 128
-
-# name -> ((height, width), (top, left)); order matters (reference order).
-PART_GEOMETRY: Dict[str, Tuple[Tuple[int, int], Tuple[int, int]]] = {
-    "left_eye": ((40, 40), (19, 18)),
-    "right_eye": ((40, 40), (18, 65)),
-    "nose": ((32, 40), (47, 43)),
-    "mouth": ((32, 48), (72, 40)),
-}
-
-PART_NAMES = tuple(PART_GEOMETRY.keys())
+from tpgan_tpu.ops.geometry import CANVAS_SIZE, PART_GEOMETRY, PART_NAMES
 
 
 def _place(part: jnp.ndarray, top: int, left: int) -> jnp.ndarray:

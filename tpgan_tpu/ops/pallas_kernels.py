@@ -1,0 +1,216 @@
+"""Hand-written Pallas TPU kernels for the ops XLA's fuser does not
+handle as a single pass.
+
+Where Pallas is and is NOT used (the performance rationale):
+
+* Convolutions/matmuls — NOT Pallas. XLA lowers them straight onto the
+  MXU with its own tiling/pipelining; a hand kernel cannot beat it and
+  bias/BN/LeakyReLU epilogues are fused by XLA automatically.
+* The LocalFuser scatter-max (reference: D_and_G_model.py:148-159) — a
+  Pallas kernel. The jnp formulation materialises four zero-padded
+  128x128xC canvases in HBM before reducing; the kernel writes the canvas
+  once per image, VMEM-resident, reading each part exactly once
+  (~5x less HBM traffic for the feature-map fuse).
+* The symmetry + total-variation reduction — a Pallas kernel computing
+  both in one pass over the image instead of three separate elementwise
+  reads.
+
+All kernels carry jnp reference implementations (used on non-TPU
+backends and as the custom-VJP backward), and correctness tests compare
+the two in interpreter mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpgan_tpu.ops.geometry import CANVAS_SIZE, PART_GEOMETRY, PART_NAMES
+
+try:  # pallas import is TPU/CPU-interpret capable; guard for safety
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def _geometry():
+    return [PART_GEOMETRY[name] for name in PART_NAMES]
+
+
+def _fuse_kernel(le_ref, re_ref, no_ref, mo_ref, out_ref):
+    """One grid step per batch element: zero the canvas, then max-blend
+    each part into its static slot. Slot offsets are compile-time
+    constants, so every access is a static VMEM slice."""
+    out_ref[...] = jnp.zeros_like(out_ref)
+    refs = (le_ref, re_ref, no_ref, mo_ref)
+    for ref, ((h, w), (top, left)) in zip(refs, _geometry()):
+        cur = out_ref[0, top : top + h, left : left + w, :]
+        out_ref[0, top : top + h, left : left + w, :] = jnp.maximum(cur, ref[0])
+
+
+def _fuse_pallas_raw(le, re, no, mo, *, interpret: bool):
+    b = le.shape[0]
+    c = le.shape[-1]
+    dtype = le.dtype
+
+    def part_spec(h, w):
+        return pl.BlockSpec(
+            (1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    specs = [part_spec(h, w) for (h, w), _ in _geometry()]
+    return pl.pallas_call(
+        _fuse_kernel,
+        grid=(b,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec(
+            (1, CANVAS_SIZE, CANVAS_SIZE, c),
+            lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, CANVAS_SIZE, CANVAS_SIZE, c), dtype),
+        interpret=interpret,
+    )(le, re, no, mo)
+
+
+def _fuse_jnp(le, re, no, mo):
+    out = None
+    for part, ((h, w), (top, left)) in zip((le, re, no, mo), _geometry()):
+        placed = jnp.pad(
+            part,
+            ((0, 0), (top, CANVAS_SIZE - top - h),
+             (left, CANVAS_SIZE - left - w), (0, 0)),
+        )
+        out = placed if out is None else jnp.maximum(out, placed)
+    return out
+
+
+@jax.custom_vjp
+def fuse_parts_pallas(le, re, no, mo):
+    """Scatter-max part fusion (Pallas on TPU, jnp elsewhere)."""
+    if _HAS_PALLAS and jax.default_backend() == "tpu":
+        return _fuse_pallas_raw(le, re, no, mo, interpret=False)
+    return _fuse_jnp(le, re, no, mo)
+
+
+def _fuse_fwd(le, re, no, mo):
+    out = fuse_parts_pallas(le, re, no, mo)
+    return out, (le, re, no, mo, out)
+
+
+def _fuse_bwd(res, g):
+    """Max gradient: each part slot receives the cotangent where that
+    part attained the max (ties share, matching jnp.maximum chains
+    closely enough for training)."""
+    le, re, no, mo, out = res
+    parts = (le, re, no, mo)
+    grads = []
+    for part, ((h, w), (top, left)) in zip(parts, _geometry()):
+        out_slice = out[:, top : top + h, left : left + w, :]
+        g_slice = g[:, top : top + h, left : left + w, :]
+        grads.append(jnp.where(part >= out_slice, g_slice, 0.0).astype(part.dtype))
+    return tuple(grads)
+
+
+fuse_parts_pallas.defvjp(_fuse_fwd, _fuse_bwd)
+
+
+def fuse_parts_pallas_interpret(le, re, no, mo):
+    """Interpreter-mode entry for correctness tests on CPU."""
+    return _fuse_pallas_raw(le, re, no, mo, interpret=True)
+
+
+# --------------------------------------------------------------------------
+# fused symmetry + total-variation reduction
+# --------------------------------------------------------------------------
+
+def _sym_tv_kernel(x_ref, out_ref):
+    """One pass over a (1, H, W, C) image block: emit the three partial
+    sums [sym_l1, tv_h, tv_w]. Accumulated across the batch grid — TPU
+    grid steps run sequentially, so read-modify-write on the output block
+    is race-free."""
+    i = pl.program_id(0)
+    x = x_ref[0].astype(jnp.float32)
+
+    sym = jnp.sum(jnp.abs(x - x[:, ::-1, :]))
+    tv_h = jnp.sum(jnp.abs(x[1:, :, :] - x[:-1, :, :]))
+    tv_w = jnp.sum(jnp.abs(x[:, 1:, :] - x[:, :-1, :]))
+    vals = jnp.stack([sym, tv_h, tv_w]).reshape(1, 3)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += vals
+
+
+def _sym_tv_sums_raw(x, *, interpret: bool):
+    b, h, w, c = x.shape
+    return pl.pallas_call(
+        _sym_tv_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, 3), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 3), jnp.float32),
+        interpret=interpret,
+    )(x)
+
+
+def _sym_tv_jnp(x) -> jnp.ndarray:
+    x = x.astype(jnp.float32)
+    sym = jnp.sum(jnp.abs(x - jnp.flip(x, axis=2)))
+    tv_h = jnp.sum(jnp.abs(x[:, 1:, :, :] - x[:, :-1, :, :]))
+    tv_w = jnp.sum(jnp.abs(x[:, :, 1:, :] - x[:, :, :-1, :]))
+    return jnp.stack([sym, tv_h, tv_w]).reshape(1, 3)
+
+
+def _sym_tv_pair_jnp(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    b, h, w, c = x.shape
+    sums = _sym_tv_jnp(x)
+    n = b * h * w * c
+    sym = sums[0, 0] / n
+    tv = sums[0, 1] / (b * (h - 1) * w * c) + sums[0, 2] / (b * h * (w - 1) * c)
+    return sym, tv
+
+
+@jax.custom_vjp
+def symmetry_tv_losses(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(symmetry_loss, tv_loss) with the reference normalisations
+    (mean abs for both; see tpgan_tpu.losses.pixel), computed in one
+    fused pass on TPU. Backward is the analytic jnp gradient (elementwise
+    signs — XLA fuses it into the surrounding backward pass)."""
+    b, h, w, c = x.shape
+    if _HAS_PALLAS and jax.default_backend() == "tpu":
+        sums = _sym_tv_sums_raw(x, interpret=False)
+        n = b * h * w * c
+        sym = sums[0, 0] / n
+        tv = sums[0, 1] / (b * (h - 1) * w * c) + sums[0, 2] / (b * h * (w - 1) * c)
+        return sym, tv
+    return _sym_tv_pair_jnp(x)
+
+
+def _sym_tv_fwd(x):
+    return symmetry_tv_losses(x), x
+
+
+def _sym_tv_bwd(x, g):
+    g_sym, g_tv = g
+
+    def scalarised(x):
+        s, t = _sym_tv_pair_jnp(x)
+        return s * g_sym + t * g_tv
+
+    return (jax.grad(scalarised)(x),)
+
+
+symmetry_tv_losses.defvjp(_sym_tv_fwd, _sym_tv_bwd)

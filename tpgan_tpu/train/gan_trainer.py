@@ -149,6 +149,12 @@ def make_gan_train_step(
             rngs={"dropout": drop_rng},
         )
 
+    if cfg.train.remat:
+        # rematerialise the generator forward during backward: activations
+        # are recomputed instead of held in HBM (jax.checkpoint), letting
+        # the per-chip batch grow past the activation-memory wall
+        g_forward = jax.checkpoint(g_forward)
+
     def train_step(
         state: GANTrainState, batch: Batch, rng: jax.Array
     ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
