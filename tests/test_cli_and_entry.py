@@ -1,0 +1,85 @@
+"""CLI synthesize end-to-end (random init) and graft-entry tracing."""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def test_cli_synthesize_end_to_end(tmp_path):
+    from PIL import Image
+
+    from tpgan_tpu import cli
+
+    rng = np.random.RandomState(0)
+    img_path = tmp_path / "probe.png"
+    Image.fromarray((rng.rand(200, 180, 3) * 255).astype(np.uint8)).save(img_path)
+    lm68 = rng.rand(68, 2) * 150 + 10
+    lm_path = tmp_path / "lm.txt"
+    lm_path.write_text(" ".join(str(float(v)) for v in lm68.reshape(-1)))
+    out_path = tmp_path / "out.png"
+
+    rc = cli.main([
+        "synthesize",
+        "--image", str(img_path),
+        "--landmarks", str(lm_path),
+        "--output", str(out_path),
+        # small model for CPU test speed
+        "--set", "G.fm_multiplier=0.25",
+        "--set", "G.local_feature_layer_dim=16",
+        "--set", "compute_dtype=float32",
+    ])
+    assert rc == 0
+    with Image.open(out_path) as im:
+        assert im.size == (128, 128)
+
+
+def test_config_overrides():
+    from tpgan_tpu.config import flat_override, make_config
+
+    cfg = make_config()
+    cfg2 = flat_override(cfg, ["G.zdim=128", "train.batch_size=8",
+                               "pretrain.model_name=mobilenetv2"])
+    assert cfg2.G.zdim == 128
+    assert cfg2.train.batch_size == 8
+    assert cfg2.pretrain.model_name == "mobilenetv2"
+    import pytest
+
+    with pytest.raises(KeyError):
+        flat_override(cfg, ["nope.x=1"])
+
+
+def test_full_size_generator_traces():
+    """The full-size flagship graph (what __graft_entry__.entry exposes)
+    must trace end-to-end — eval_shape only, no compile, so this stays
+    fast on one CPU core."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpgan_tpu.config import make_config
+    from tpgan_tpu.train.gan_trainer import build_models
+
+    cfg = make_config({"compute_dtype": "bfloat16"})
+    gen, disc = build_models(cfg)
+    b = 8
+    args = (
+        jnp.zeros((b, 128, 128, 3)),
+        jnp.zeros((b, 40, 40, 3)),
+        jnp.zeros((b, 40, 40, 3)),
+        jnp.zeros((b, 32, 40, 3)),
+        jnp.zeros((b, 32, 48, 3)),
+        jnp.zeros((b, 64)),
+    )
+    variables = jax.eval_shape(gen.init, jax.random.PRNGKey(0), *args)
+    out = jax.eval_shape(gen.apply, variables, *args)
+    assert out.img128_fake.shape == (b, 128, 128, 3)
+    assert out.encoder_predict.shape == (b, 347)
+    n_params = sum(
+        int(np.prod(x.shape)) for x in jax.tree.leaves(variables["params"])
+    )
+    assert n_params > 10_000_000  # full-size network, not a stub
+
+    d_vars = jax.eval_shape(disc.init, jax.random.PRNGKey(0), args[0])
+    scores = jax.eval_shape(disc.apply, d_vars, args[0])
+    assert scores.shape == (b, 4, 4, 1)

@@ -36,11 +36,15 @@ def frontal_twin_path(path: str) -> str:
     return "_".join(parts)
 
 
-def _load_image(path: str) -> np.ndarray:
+def _load_image_u8(path: str) -> np.ndarray:
     from PIL import Image
 
     with Image.open(path) as im:
-        return np.asarray(im.convert("RGB"), np.float32) / 255.0
+        return np.asarray(im.convert("RGB"), np.uint8)
+
+
+def _load_image(path: str) -> np.ndarray:
+    return _load_image_u8(path).astype(np.float32) / 255.0
 
 
 def _sibling(path: str, subdir: List[str]) -> str:
@@ -67,13 +71,18 @@ class TrainDataset:
         path = self.img_list[idx]
         frontal = frontal_twin_path(path)
         batch: Dict[str, np.ndarray] = {}
+        # uint8 -> [-1, 1] float through the native C++ kernel when the
+        # library is built (tpgan_tpu/data/native.py; numpy fallback)
+        from tpgan_tpu.data import native
+
+        to_pm1 = native.u8_to_pm1
         for key, p in (("", path), ("_frontal", frontal)):
-            batch["img" + key] = _norm(_load_image(p))
-            batch["img32" + key] = _norm(_load_image(_sibling(p, ["32x32"])))
-            batch["img64" + key] = _norm(_load_image(_sibling(p, ["64x64"])))
+            batch["img" + key] = to_pm1(_load_image_u8(p))
+            batch["img32" + key] = to_pm1(_load_image_u8(_sibling(p, ["32x32"])))
+            batch["img64" + key] = to_pm1(_load_image_u8(_sibling(p, ["64x64"])))
             for part in PART_NAMES:
-                batch[part + key] = _norm(
-                    _load_image(_sibling(p, ["patch", part]))
+                batch[part + key] = to_pm1(
+                    _load_image_u8(_sibling(p, ["patch", part]))
                 )
         batch["label"] = np.asarray(
             int(os.path.basename(path).split("_")[0]), np.int32
