@@ -74,26 +74,13 @@ def cmd_train(args) -> int:
 
     from tpgan_tpu.data.multipie import TrainDataset
     from tpgan_tpu.data.pipeline import batch_iterator, prefetch_to_device
-    from tpgan_tpu.parallel.mesh import make_mesh
-    from tpgan_tpu.parallel.sharding import batch_shardings, shard_gan_state
-    from tpgan_tpu.train.checkpoint import (
-        latest_step,
-        restore_checkpoint,
-        save_checkpoint,
-    )
-    from tpgan_tpu.train.gan_trainer import (
-        create_gan_state,
-        make_gan_train_step,
-    )
-    from tpgan_tpu.train.metrics import MetricWriter, NaNMonitor, Throughput
+    from tpgan_tpu.train.loop import run_gan_training
+    from tpgan_tpu.train.metrics import MetricWriter
 
     cfg = _build_config(args)
     with open(cfg.train.img_list) as f:
         img_list = [line.strip() for line in f if line.strip()]
     ds = TrainDataset(img_list)
-
-    rng = jax.random.PRNGKey(cfg.train.seed)
-    state, gen, disc, g_tx, d_tx = create_gan_state(cfg, rng)
 
     identity_embed = None
     if args.identity_checkpoint:
@@ -101,7 +88,7 @@ def cmd_train(args) -> int:
             FeatureExtractModel,
             make_identity_embed_fn,
         )
-        from tpgan_tpu.train.checkpoint import restore_checkpoint as rc
+        from tpgan_tpu.train.checkpoint import restore_checkpoint
 
         fx = FeatureExtractModel(
             base_model_name=cfg.feature_extract_model.base_model_name,
@@ -110,55 +97,26 @@ def cmd_train(args) -> int:
         fx_vars = jax.jit(fx.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
         )
-        fx_vars = rc(args.identity_checkpoint, fx_vars)
+        fx_vars = restore_checkpoint(args.identity_checkpoint, fx_vars)
         identity_embed = make_identity_embed_fn(fx, fx_vars)
 
-    ckpt_dir = args.checkpoint or cfg.train.checkpoint_dir
-    if cfg.train.resume_model or (args.resume and latest_step(ckpt_dir) is not None):
-        state = restore_checkpoint(cfg.train.resume_model or ckpt_dir, state)
-
-    mesh = make_mesh(cfg.mesh)
-    state_sh = shard_gan_state(mesh, state)
-    state = jax.tree.map(jax.device_put, state, state_sh)
-
-    step_fn = make_gan_train_step(cfg, gen, disc, g_tx, d_tx, identity_embed)
-    from tpgan_tpu.train.gan_trainer import example_batch
-
-    batch_sh = batch_shardings(mesh, example_batch(cfg.train.batch_size))
-    jit_step = jax.jit(
-        step_fn,
-        in_shardings=(state_sh, batch_sh, None),
-        out_shardings=(state_sh, None),
-        donate_argnums=0,
-    )
-
-    writer = MetricWriter(args.log_dir or "./logs/gan")
-    monitor = NaNMonitor()
-    throughput = Throughput()
     steps_total = args.steps or cfg.train.num_epochs * max(
         len(ds) // cfg.train.batch_size, 1
     )
-
-    it = prefetch_to_device(
+    batches = prefetch_to_device(
         batch_iterator(ds, cfg.train.batch_size, shuffle=True, epochs=None),
         size=2,
     )
-    throughput.start()
-    for i, batch in enumerate(it):
-        if i >= steps_total:
-            break
-        rng, srng = jax.random.split(rng)
-        state, metrics = jit_step(state, batch, srng)
-        throughput.count(cfg.train.batch_size)
-        if (i + 1) % 10 == 0:
-            monitor.check(i + 1, metrics)
-            metrics = dict(metrics)
-            metrics["imgs_per_sec"] = throughput.rate(metrics["g_loss"])
-            writer.write(i + 1, metrics)
-            throughput.start()
-        if (i + 1) % cfg.train.checkpoint_every_steps == 0:
-            save_checkpoint(ckpt_dir, i + 1, jax.device_get(state))
-    save_checkpoint(ckpt_dir, int(state.step), jax.device_get(state))
+    writer = MetricWriter(args.log_dir or "./logs/gan")
+    run_gan_training(
+        cfg,
+        batches,
+        steps=steps_total,
+        identity_embed=identity_embed,
+        checkpoint_dir=args.checkpoint or cfg.train.checkpoint_dir,
+        resume=args.resume,
+        writer=writer,
+    )
     writer.close()
     return 0
 

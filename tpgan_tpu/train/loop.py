@@ -1,0 +1,97 @@
+"""The GAN training driver (BASELINE config 5: full two-pathway TP-GAN
+training, data-parallel over the ICI mesh).
+
+Composes: mesh + GSPMD shardings, the fused WGAN-GP step, double-buffered
+host->HBM prefetch, metric writing with imgs/sec throughput, NaN
+monitoring, and periodic Orbax checkpoints with resume.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+import jax
+
+from tpgan_tpu.config import Config
+from tpgan_tpu.parallel.mesh import make_mesh
+from tpgan_tpu.parallel.sharding import batch_shardings, shard_gan_state
+from tpgan_tpu.train.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from tpgan_tpu.train.gan_trainer import (
+    GANTrainState,
+    IdentityEmbedFn,
+    create_gan_state,
+    example_batch,
+    make_gan_train_step,
+)
+from tpgan_tpu.train.metrics import MetricWriter, NaNMonitor, Throughput
+
+
+def run_gan_training(
+    cfg: Config,
+    batches: Iterable,
+    *,
+    steps: int,
+    identity_embed: Optional[IdentityEmbedFn] = None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
+    writer: Optional[MetricWriter] = None,
+    log_every: int = 10,
+    mesh=None,
+) -> GANTrainState:
+    """Run ``steps`` train steps over ``batches`` (an iterable of
+    TrainDataset-contract dicts). Returns the final state (host)."""
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    state, gen, disc, g_tx, d_tx = create_gan_state(cfg, rng)
+
+    if resume and checkpoint_dir and latest_step(checkpoint_dir) is not None:
+        state = restore_checkpoint(checkpoint_dir, state)
+    elif cfg.train.resume_model:
+        state = restore_checkpoint(cfg.train.resume_model, state)
+
+    mesh = mesh or make_mesh(cfg.mesh)
+    state_sh = shard_gan_state(mesh, state)
+    batch_sh = batch_shardings(
+        mesh, example_batch(cfg.train.batch_size), cfg.mesh.data_axis
+    )
+    state = jax.tree.map(jax.device_put, state, state_sh)
+
+    step_fn = jax.jit(
+        make_gan_train_step(cfg, gen, disc, g_tx, d_tx, identity_embed),
+        in_shardings=(state_sh, batch_sh, None),
+        out_shardings=(state_sh, None),
+        donate_argnums=0,
+    )
+
+    monitor = NaNMonitor()
+    throughput = Throughput()
+    throughput.start()
+    i = 0
+    for batch in batches:
+        if i >= steps:
+            break
+        rng, srng = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, srng)
+        throughput.count(cfg.train.batch_size)
+        i += 1
+        if writer is not None and i % log_every == 0:
+            monitor.check(i, metrics)
+            host = dict(metrics)
+            host["imgs_per_sec"] = throughput.rate(metrics["g_loss"])
+            writer.write(i, host)
+            throughput.start()
+        if (
+            checkpoint_dir
+            and cfg.train.checkpoint_every_steps
+            and i % cfg.train.checkpoint_every_steps == 0
+        ):
+            save_checkpoint(checkpoint_dir, i, jax.device_get(state))
+
+    if checkpoint_dir:
+        save_checkpoint(checkpoint_dir, int(state.step), jax.device_get(state))
+    return jax.device_get(state)
