@@ -43,6 +43,8 @@ def run_gan_training(
     writer: Optional[MetricWriter] = None,
     log_every: int = 10,
     mesh=None,
+    profile_dir: Optional[str] = None,
+    profile_steps: tuple = (10, 15),
 ) -> GANTrainState:
     """Run ``steps`` train steps over ``batches`` (an iterable of
     TrainDataset-contract dicts). Returns the final state (host)."""
@@ -75,6 +77,14 @@ def run_gan_training(
     for batch in batches:
         if i >= steps:
             break
+        # jax.profiler device trace over a step window (the tracing /
+        # profiling aux subsystem — the reference only has wall-clock
+        # imgs/s prints, Pretrain.py:266)
+        if profile_dir is not None and i == profile_steps[0]:
+            jax.profiler.start_trace(profile_dir)
+        if profile_dir is not None and i == profile_steps[1]:
+            jax.block_until_ready(state)
+            jax.profiler.stop_trace()
         rng, srng = jax.random.split(rng)
         state, metrics = step_fn(state, batch, srng)
         throughput.count(cfg.train.batch_size)
