@@ -25,7 +25,8 @@ TPU-native design choices:
 
 * NHWC layout, HWIO kernels — XLA's preferred conv layout for the MXU.
 * Compute dtype is configurable (bfloat16 by default in production
-  configs) with float32 accumulation inside the conv, float32 params.
+  configs); the MXU accumulates bf16 convs in float32 internally, and
+  parameters stay float32.
 * No in-place anything; BatchNorm running stats live in the
   ``batch_stats`` linen collection.
 """
@@ -106,6 +107,11 @@ class Conv2d(nn.Module):
         x = x.astype(self.dtype)
         if reflect is not None:
             x = reflect_pad(x, reflect)
+        # NOTE: no preferred_element_type here — the MXU accumulates
+        # bf16 convs in f32 internally, and jax's conv transpose rule
+        # rejects mixed f32-cotangent/bf16-kernel operands when the
+        # output dtype is widened (breaks grads through the critic for
+        # WGAN-GP in bfloat16).
         y = lax.conv_general_dilated(
             x,
             kernel.astype(self.dtype),
@@ -113,14 +119,13 @@ class Conv2d(nn.Module):
             padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             binit = self.bias_init or init_lib.uniform_bias(
                 kh * kw * self.in_channels // self.groups
             )
             bias = self.param("bias", binit, (self.out_channels,))
-            y = y + bias.astype(jnp.float32)
+            y = y + bias.astype(y.dtype)
         return y.astype(self.dtype)
 
 
@@ -173,13 +178,12 @@ class ConvTranspose2d(nn.Module):
             padding=((kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw)),
             lhs_dilation=(sh, sw),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             # torch ConvTranspose2d bias bound uses fan_in = out*kh*kw
             binit = self.bias_init or init_lib.uniform_bias(kh * kw * self.out_channels)
             bias = self.param("bias", binit, (self.out_channels,))
-            y = y + bias.astype(jnp.float32)
+            y = y + bias.astype(y.dtype)
         return y.astype(self.dtype)
 
 
@@ -363,12 +367,12 @@ class LinearBlock(nn.Module):
         kinit = self.kernel_init or init_lib.torch_default_linear()
         kernel = self.param("kernel", kinit, (self.in_features, self.out_features))
         x = x.astype(self.dtype)
-        y = jnp.dot(x, kernel.astype(self.dtype), preferred_element_type=jnp.float32)
+        y = jnp.dot(x, kernel.astype(self.dtype))
         if not self.use_batchnorm:
             bias = self.param(
                 "bias", init_lib.uniform_bias(self.in_features), (self.out_features,)
             )
-            y = y + bias.astype(jnp.float32)
+            y = y + bias.astype(y.dtype)
         y = y.astype(self.dtype)
         if self.use_batchnorm:
             y = BatchNorm2d(self.out_features, dtype=self.dtype, name="bn")(

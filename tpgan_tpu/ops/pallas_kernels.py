@@ -130,15 +130,18 @@ def fuse_parts_pallas_interpret(le, re, no, mo):
 # fused symmetry + total-variation reduction
 # --------------------------------------------------------------------------
 
-def _sym_tv_kernel(x_ref, out_ref):
+def _sym_tv_kernel(x_ref, xf_ref, out_ref):
     """One pass over a (1, H, W, C) image block: emit the three partial
-    sums [sym_l1, tv_h, tv_w]. Accumulated across the batch grid — TPU
-    grid steps run sequentially, so read-modify-write on the output block
-    is race-free."""
+    sums [sym_l1, tv_h, tv_w]. The width-mirrored copy arrives as a
+    second input (Pallas TPU has no `rev` lowering; XLA produces the flip
+    and both streams pipeline into VMEM). Accumulated across the batch
+    grid — TPU grid steps run sequentially, so read-modify-write on the
+    output block is race-free."""
     i = pl.program_id(0)
     x = x_ref[0].astype(jnp.float32)
+    xf = xf_ref[0].astype(jnp.float32)
 
-    sym = jnp.sum(jnp.abs(x - x[:, ::-1, :]))
+    sym = jnp.sum(jnp.abs(x - xf))
     tv_h = jnp.sum(jnp.abs(x[1:, :, :] - x[:-1, :, :]))
     tv_w = jnp.sum(jnp.abs(x[:, 1:, :] - x[:, :-1, :]))
     vals = jnp.stack([sym, tv_h, tv_w]).reshape(1, 3)
@@ -152,18 +155,17 @@ def _sym_tv_kernel(x_ref, out_ref):
 
 def _sym_tv_sums_raw(x, *, interpret: bool):
     b, h, w, c = x.shape
+    spec = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _sym_tv_kernel,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-        ],
+        in_specs=[spec, spec],
         out_specs=pl.BlockSpec((1, 3), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, 3), jnp.float32),
         interpret=interpret,
-    )(x)
+    )(x, jnp.flip(x, axis=2))
 
 
 def _sym_tv_jnp(x) -> jnp.ndarray:

@@ -73,24 +73,25 @@ def landmark_accuracy(
 
 
 def create_pretrain_state(
-    cfg: Config, rng: jax.Array, dtype=jnp.float32
+    cfg: Config, rng: jax.Array, dtype=jnp.float32, steps_per_epoch: int = 1
 ) -> Tuple[PretrainState, MobileNetV2, optax.GradientTransformation]:
     model = get_model(cfg.pretrain.model_name, dtype=dtype)
     size = cfg.pretrain.image_size
     variables = jax.jit(model.init)(
         rng, jnp.zeros((1, size, size, 3), jnp.float32)
     )
-    lr: Any = cfg.optimizer_param.learning_rate
+    lr: Any = None
     if cfg.pretrain.use_learning_rate_scheduler:
-        # milestones are epochs; approximate steps/epoch by the caller
-        # passing a schedule later, or rescale here by steps_per_epoch=1
+        # epoch milestones -> step boundaries; the schedule only exists
+        # when enabled (the reference steps its scheduler even when the
+        # config disables it, Pretrain.py:301 vs the guard at :126)
         lr = multistep_lr(
             cfg.optimizer_param.learning_rate,
             cfg.pretrain.learning_rate_scheduler_milestone,
             cfg.pretrain.learning_rate_scheduler_gamma,
-            steps_per_epoch=1,
+            steps_per_epoch=steps_per_epoch,
         )
-    tx = get_optimizer(cfg.pretrain.optimizer, cfg.optimizer_param, learning_rate=None)
+    tx = get_optimizer(cfg.pretrain.optimizer, cfg.optimizer_param, learning_rate=lr)
     state = PretrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
@@ -186,7 +187,9 @@ def run_pretrain(
     from tpgan_tpu.train.checkpoint import save_checkpoint
 
     rng = jax.random.PRNGKey(seed)
-    state, model, tx = create_pretrain_state(cfg, rng)
+    state, model, tx = create_pretrain_state(
+        cfg, rng, steps_per_epoch=steps_per_epoch
+    )
     train_step = jax.jit(make_pretrain_step(cfg, model, tx), donate_argnums=0)
     eval_step = jax.jit(make_eval_step(cfg, model))
 
