@@ -43,15 +43,22 @@ def _geometry():
     return [PART_GEOMETRY[name] for name in PART_NAMES]
 
 
-def _fuse_kernel(le_ref, re_ref, no_ref, mo_ref, out_ref):
-    """One grid step per batch element: zero the canvas, then max-blend
-    each part into its static slot. Slot offsets are compile-time
-    constants, so every access is a static VMEM slice."""
-    out_ref[...] = jnp.zeros_like(out_ref)
-    refs = (le_ref, re_ref, no_ref, mo_ref)
-    for ref, ((h, w), (top, left)) in zip(refs, _geometry()):
-        cur = out_ref[0, top : top + h, left : left + w, :]
-        out_ref[0, top : top + h, left : left + w, :] = jnp.maximum(cur, ref[0])
+def _make_fuse_kernel(c: int):
+    def kernel(le_ref, re_ref, no_ref, mo_ref, out_ref):
+        """One grid step per batch element: zero the canvas, then
+        max-blend each part into its static slot. Channels are folded
+        into the lane dimension ((H, W*C) blocks) so small channel
+        counts don't pad to 128 lanes; per-pixel channel contiguity
+        makes every slot a static contiguous slice."""
+        out_ref[...] = jnp.zeros_like(out_ref)
+        refs = (le_ref, re_ref, no_ref, mo_ref)
+        for ref, ((h, w), (top, left)) in zip(refs, _geometry()):
+            cur = out_ref[0, top : top + h, left * c : (left + w) * c]
+            out_ref[0, top : top + h, left * c : (left + w) * c] = jnp.maximum(
+                cur, ref[0]
+            )
+
+    return kernel
 
 
 def _fuse_pallas_raw(le, re, no, mo, *, interpret: bool):
@@ -61,22 +68,26 @@ def _fuse_pallas_raw(le, re, no, mo, *, interpret: bool):
 
     def part_spec(h, w):
         return pl.BlockSpec(
-            (1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, h, w * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
 
     specs = [part_spec(h, w) for (h, w), _ in _geometry()]
-    return pl.pallas_call(
-        _fuse_kernel,
+    flat = [
+        p.reshape(b, p.shape[1], p.shape[2] * c) for p in (le, re, no, mo)
+    ]
+    out = pl.pallas_call(
+        _make_fuse_kernel(c),
         grid=(b,),
         in_specs=specs,
         out_specs=pl.BlockSpec(
-            (1, CANVAS_SIZE, CANVAS_SIZE, c),
-            lambda i: (i, 0, 0, 0),
+            (1, CANVAS_SIZE, CANVAS_SIZE * c),
+            lambda i: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, CANVAS_SIZE, CANVAS_SIZE, c), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, CANVAS_SIZE, CANVAS_SIZE * c), dtype),
         interpret=interpret,
-    )(le, re, no, mo)
+    )(*flat)
+    return out.reshape(b, CANVAS_SIZE, CANVAS_SIZE, c)
 
 
 def _fuse_jnp(le, re, no, mo):
@@ -130,42 +141,49 @@ def fuse_parts_pallas_interpret(le, re, no, mo):
 # fused symmetry + total-variation reduction
 # --------------------------------------------------------------------------
 
-def _sym_tv_kernel(x_ref, xf_ref, out_ref):
-    """One pass over a (1, H, W, C) image block: emit the three partial
-    sums [sym_l1, tv_h, tv_w]. The width-mirrored copy arrives as a
-    second input (Pallas TPU has no `rev` lowering; XLA produces the flip
-    and both streams pipeline into VMEM). Accumulated across the batch
-    grid — TPU grid steps run sequentially, so read-modify-write on the
-    output block is race-free."""
-    i = pl.program_id(0)
-    x = x_ref[0].astype(jnp.float32)
-    xf = xf_ref[0].astype(jnp.float32)
+def _make_sym_tv_kernel(c: int):
+    def kernel(x_ref, xf_ref, out_ref):
+        """One pass over a (1, H, W*C) image block (channels folded into
+        the lane dimension — a raw (H, W, C=3) block would pad C to 128
+        lanes and blow the VMEM budget 42x). The width-mirrored copy
+        arrives as a second input (Pallas TPU has no `rev` lowering).
+        With channels folded, the width shift for TV is a shift by C
+        along the flattened axis. Accumulated across the batch grid —
+        TPU grid steps run sequentially, so the read-modify-write on the
+        output block is race-free."""
+        i = pl.program_id(0)
+        x = x_ref[0].astype(jnp.float32)
+        xf = xf_ref[0].astype(jnp.float32)
 
-    sym = jnp.sum(jnp.abs(x - xf))
-    tv_h = jnp.sum(jnp.abs(x[1:, :, :] - x[:-1, :, :]))
-    tv_w = jnp.sum(jnp.abs(x[:, 1:, :] - x[:, :-1, :]))
-    vals = jnp.stack([sym, tv_h, tv_w]).reshape(1, 3)
+        sym = jnp.sum(jnp.abs(x - xf))
+        tv_h = jnp.sum(jnp.abs(x[1:, :] - x[:-1, :]))
+        tv_w = jnp.sum(jnp.abs(x[:, c:] - x[:, :-c]))
+        vals = jnp.stack([sym, tv_h, tv_w]).reshape(1, 3)
 
-    @pl.when(i == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        @pl.when(i == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
 
-    out_ref[...] += vals
+        out_ref[...] += vals
+
+    return kernel
 
 
 def _sym_tv_sums_raw(x, *, interpret: bool):
     b, h, w, c = x.shape
-    spec = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+    x2 = x.reshape(b, h, w * c)
+    xf2 = jnp.flip(x, axis=2).reshape(b, h, w * c)
+    spec = pl.BlockSpec((1, h, w * c), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _sym_tv_kernel,
+        _make_sym_tv_kernel(c),
         grid=(b,),
         in_specs=[spec, spec],
         out_specs=pl.BlockSpec((1, 3), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, 3), jnp.float32),
         interpret=interpret,
-    )(x, jnp.flip(x, axis=2))
+    )(x2, xf2)
 
 
 def _sym_tv_jnp(x) -> jnp.ndarray:
