@@ -98,3 +98,25 @@ def test_torch_pth_import_mobilenet(tmp_path):
         np.asarray(out2["params"]["stem"]["kernel"]),
         np.asarray(p["stem"]["kernel"]),
     )
+
+
+def test_gan_state_roundtrip(tmp_path):
+    """GANTrainState (flax struct + optax state) survives Orbax
+    save/restore — the full resume path the reference lacks."""
+    from tpgan_tpu.config import make_config
+    from tpgan_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from tpgan_tpu.train.gan_trainer import create_gan_state
+
+    cfg = make_config(
+        {"G": {"fm_multiplier": 0.25, "local_feature_layer_dim": 16},
+         "D": {"fm_multiplier": 0.25}, "compute_dtype": "float32"}
+    )
+    state, *_ = create_gan_state(cfg, jax.random.PRNGKey(0))
+    d = str(tmp_path / "gan")
+    save_checkpoint(d, 0, jax.device_get(state))
+
+    zeroed = jax.tree.map(jnp.zeros_like, state)
+    restored = restore_checkpoint(d, zeroed)
+    a = jax.tree.leaves(state.g_params)[0]
+    b = jax.tree.leaves(restored.g_params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
