@@ -115,6 +115,14 @@ def create_gan_state(
         batch["nose"], batch["mouth"], jnp.zeros((1, cfg.G.zdim)),
     )
     d_vars = jax.jit(disc.init)(d_rng, batch["img"])
+    if "batch_stats" in g_vars or "batch_stats" in d_vars:
+        raise NotImplementedError(
+            "BatchNorm inside the WGAN-GP G/D alternation is not supported: "
+            "the gradient penalty assumes a per-sample critic and BN couples "
+            "samples (the reference's own GAN config disables it, "
+            "config.py:62,68). Set G.use_batchnorm=False and "
+            "D.use_batchnorm=False."
+        )
     g_tx = adam_wgan(cfg.train.learning_rate, cfg.train.beta1, cfg.train.beta2)
     d_tx = adam_wgan(cfg.train.learning_rate, cfg.train.beta1, cfg.train.beta2)
     state = GANTrainState(
