@@ -17,7 +17,7 @@ Outputs are NHWC float32 numpy dicts whose keys match
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

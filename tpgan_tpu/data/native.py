@@ -115,8 +115,6 @@ def crop_patch(img: np.ndarray, center_xy: Tuple[float, float],
     w, h = size_wh
     lib = load()
     if lib is None:
-        from tpgan_tpu.data.patches import crop_patches  # fallback path
-
         raise RuntimeError("native library unavailable; use data.patches")
     out = np.empty((h, w, img.shape[2]), np.float32)
     lib.crop_patch_f32(

@@ -11,9 +11,7 @@ the host once warm.
 from __future__ import annotations
 
 import collections
-import queue
-import threading
-from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+from typing import Any, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
 

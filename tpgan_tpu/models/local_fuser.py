@@ -22,7 +22,7 @@ Geometry (reference: D_and_G_model.py:148-157, derived from the mean
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 

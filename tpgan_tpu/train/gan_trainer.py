@@ -22,8 +22,6 @@ TPU-native design:
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import flax.struct

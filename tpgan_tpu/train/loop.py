@@ -10,8 +10,6 @@ from __future__ import annotations
 
 from typing import Callable, Iterable, Optional
 
-import numpy as np
-
 import jax
 
 from tpgan_tpu.config import Config
