@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -37,3 +37,24 @@ def five_landmarks_from_68(landmarks68: np.ndarray) -> np.ndarray:
             lo = hi = 54
         out.append(np.mean(landmarks68[lo : hi + 1], axis=0))
     return np.asarray(out, np.float32)
+
+
+def resize_image(
+    x, size: Union[int, Tuple[int, int]], method: str = "bilinear"
+):
+    """Bilinear (default) image resize on NHWC or HWC jax arrays — the
+    on-device equivalent of the reference's Tensor->PIL->Resize->Tensor
+    round trip (UtilityMethods.py:123-145). ``size`` is (height, width)
+    or a single int for square output."""
+    import jax.image
+    import jax.numpy as jnp
+
+    h, w = (size, size) if isinstance(size, int) else size
+    x = jnp.asarray(x)
+    if x.ndim == 3:
+        return jax.image.resize(x, (h, w, x.shape[-1]), method=method)
+    if x.ndim == 4:
+        return jax.image.resize(
+            x, (x.shape[0], h, w, x.shape[-1]), method=method
+        )
+    raise ValueError(f"expected HWC or NHWC, got shape {x.shape}")
