@@ -99,3 +99,28 @@ def test_nan_monitor():
     m.check(0, {"ok": 1.0})
     with pytest.raises(FloatingPointError):
         m.check(1, {"bad": float("nan")})
+
+
+def test_run_pretrain_sharded_over_mesh(tmp_path):
+    """Data-parallel pretraining over the 8-virtual-device mesh."""
+    from tpgan_tpu.config import MeshConfig
+    from tpgan_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    cfg = make_config(
+        {
+            "pretrain": {
+                "image_size": SIZE,
+                "num_epochs": 1,
+                "batch_size": 8,
+                "log_step_of_batchs": 100,
+            }
+        }
+    )
+    state = run_pretrain(
+        cfg,
+        _batches(2, b=8),
+        steps_per_epoch=2,
+        mesh=mesh,
+    )
+    assert int(state.step) == 2

@@ -1,0 +1,56 @@
+"""Serving export: StableHLO round-trip and AOT compile."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpgan_tpu.config import make_config
+from tpgan_tpu.serving import (
+    aot_compile_synthesis,
+    export_synthesis,
+    load_synthesis,
+)
+from tpgan_tpu.train.gan_trainer import create_gan_state
+
+CFG = make_config(
+    {"G": {"fm_multiplier": 0.25, "local_feature_layer_dim": 16},
+     "D": {"fm_multiplier": 0.25}, "compute_dtype": "float32"}
+)
+
+
+def _inputs(b=2):
+    rng = np.random.RandomState(0)
+    batch = {
+        "img": jnp.asarray(rng.randn(b, 128, 128, 3).astype(np.float32)),
+        "left_eye": jnp.asarray(rng.randn(b, 40, 40, 3).astype(np.float32)),
+        "right_eye": jnp.asarray(rng.randn(b, 40, 40, 3).astype(np.float32)),
+        "nose": jnp.asarray(rng.randn(b, 32, 40, 3).astype(np.float32)),
+        "mouth": jnp.asarray(rng.randn(b, 32, 48, 3).astype(np.float32)),
+    }
+    return batch, jnp.zeros((b, 64), jnp.float32)
+
+
+def test_export_roundtrip(tmp_path):
+    state, gen, *_ = create_gan_state(CFG, jax.random.PRNGKey(0))
+    path = str(tmp_path / "synthesis.stablehlo")
+    export_synthesis(CFG, gen, state.g_params, path, batch=2)
+
+    fn = load_synthesis(path)
+    batch, z = _inputs(2)
+    out = fn(batch, z)
+    assert out.shape == (2, 128, 128, 3)
+
+    # must match the live function exactly
+    from tpgan_tpu.train.gan_trainer import make_synthesize_fn
+
+    live = jax.jit(make_synthesize_fn(CFG, gen))(state.g_params, batch, z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(live), rtol=1e-5)
+
+
+def test_aot_compile(tmp_path):
+    state, gen, *_ = create_gan_state(CFG, jax.random.PRNGKey(0))
+    compiled = aot_compile_synthesis(CFG, gen, state.g_params, batch=2)
+    batch, z = _inputs(2)
+    out = compiled(state.g_params, batch, z)
+    assert out.shape == (2, 128, 128, 3)

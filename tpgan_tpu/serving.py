@@ -1,0 +1,71 @@
+"""Serving export: ahead-of-time compile and portable StableHLO
+serialisation of the synthesis function.
+
+``jax.export`` captures the jitted generator forward (optionally with the
+on-device preprocessing fused in) as a versioned StableHLO artifact that
+a serving binary can load and run without Python tracing — the
+productionisation step the reference (research scripts only) never had.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpgan_tpu.config import Config
+from tpgan_tpu.train.gan_trainer import make_synthesize_fn
+
+
+def _example_inputs(cfg: Config, batch: int):
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    example = {
+        "img": z(batch, 128, 128, 3),
+        "left_eye": z(batch, 40, 40, 3),
+        "right_eye": z(batch, 40, 40, 3),
+        "nose": z(batch, 32, 40, 3),
+        "mouth": z(batch, 32, 48, 3),
+    }
+    return example, z(batch, cfg.G.zdim)
+
+
+def export_synthesis(
+    cfg: Config, gen, g_params, path: str, batch: int = 8
+) -> None:
+    """Serialise the synthesis function (params baked in) to ``path``."""
+    from jax import export as jexport
+
+    synthesize = make_synthesize_fn(cfg, gen)
+    example, z = _example_inputs(cfg, batch)
+
+    def fn(batch_in, z_in):
+        return synthesize(g_params, batch_in, z_in)
+
+    exported = jexport.export(jax.jit(fn))(example, z)
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_synthesis(path: str):
+    """Load a serialized synthesis artifact; returns a callable
+    (batch dict, z) -> frontal images."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    return exported.call
+
+
+def aot_compile_synthesis(cfg: Config, gen, g_params, batch: int = 8):
+    """Ahead-of-time compile for the current backend; returns the
+    compiled executable (first real request pays no trace/compile)."""
+    synthesize = make_synthesize_fn(cfg, gen)
+    example, z = _example_inputs(cfg, batch)
+    return (
+        jax.jit(synthesize)
+        .lower(g_params, example, z)
+        .compile()
+    )

@@ -180,17 +180,37 @@ def run_pretrain(
     writer=None,
     checkpoint_dir: Optional[str] = None,
     seed: int = 0,
+    mesh=None,
 ) -> PretrainState:
     """The full pretrain driver: epochs x steps with periodic validation
     every ``log_step_of_batchs`` (reference cadence, Pretrain.py:198) and
-    per-epoch + best-model checkpoints."""
+    per-epoch + best-model checkpoints. With ``mesh``, the batch shards
+    over the data axis and GSPMD all-reduces the gradients over ICI —
+    data-parallel pretraining as pure annotations."""
     from tpgan_tpu.train.checkpoint import save_checkpoint
 
     rng = jax.random.PRNGKey(seed)
     state, model, tx = create_pretrain_state(
         cfg, rng, steps_per_epoch=steps_per_epoch
     )
-    train_step = jax.jit(make_pretrain_step(cfg, model, tx), donate_argnums=0)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpgan_tpu.parallel.sharding import infer_param_shardings
+
+        state_sh = infer_param_shardings(mesh, state)
+        data_sh = NamedSharding(mesh, P("data"))
+        state = jax.tree.map(jax.device_put, state, state_sh)
+        train_step = jax.jit(
+            make_pretrain_step(cfg, model, tx),
+            in_shardings=(state_sh, data_sh, data_sh, None),
+            out_shardings=(state_sh, None),
+            donate_argnums=0,
+        )
+    else:
+        train_step = jax.jit(
+            make_pretrain_step(cfg, model, tx), donate_argnums=0
+        )
     eval_step = jax.jit(make_eval_step(cfg, model))
 
     best_acc = -1.0
