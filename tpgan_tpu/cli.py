@@ -121,6 +121,85 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Frontalization quality evaluation on a Multi-PIE-style file list
+    (TrainDataset protocol): PSNR/SSIM vs the frontal ground truth and
+    Rank-1 identification through the identity embedder (the BASELINE.md
+    north-star quality metrics)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpgan_tpu.data.multipie import TrainDataset
+    from tpgan_tpu.data.pipeline import batch_iterator
+    from tpgan_tpu.evaluate import psnr, rank1_accuracy, ssim
+    from tpgan_tpu.train.checkpoint import restore_checkpoint
+    from tpgan_tpu.train.gan_trainer import create_gan_state, make_synthesize_fn
+
+    cfg = _build_config(args)
+    with open(cfg.train.img_list if not args.img_list else args.img_list) as f:
+        img_list = [line.strip() for line in f if line.strip()]
+    ds = TrainDataset(img_list)
+
+    state, gen, *_ = create_gan_state(cfg, jax.random.PRNGKey(0))
+    if args.checkpoint:
+        state = restore_checkpoint(args.checkpoint, state)
+    synthesize = jax.jit(make_synthesize_fn(cfg, gen))
+
+    embed = None
+    if args.identity_checkpoint:
+        from tpgan_tpu.models.feature_extract import (
+            FeatureExtractModel,
+            make_identity_embed_fn,
+        )
+
+        fx = FeatureExtractModel(
+            base_model_name=cfg.feature_extract_model.base_model_name,
+            num_of_output_classes=cfg.feature_extract_model.num_of_output_classes,
+        )
+        fx_vars = jax.jit(fx.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
+        )
+        fx_vars = restore_checkpoint(args.identity_checkpoint, fx_vars)
+        embed = jax.jit(make_identity_embed_fn(fx, fx_vars))
+
+    psnrs, ssims = [], []
+    probe_emb, probe_lbl, gallery = [], [], {}
+    rng = jax.random.PRNGKey(args.seed)
+    for batch in batch_iterator(ds, args.batch_size, shuffle=False, epochs=1,
+                                drop_last=False):
+        b = batch["img"].shape[0]
+        rng, zr = jax.random.split(rng)
+        z = jax.random.normal(zr, (b, cfg.G.zdim))
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        fake = synthesize(state.g_params, jb, z)
+        gt = jb["img_frontal"]
+        psnrs.append(float(psnr(fake, gt)))
+        ssims.append(float(ssim(fake, gt)))
+        if embed is not None:
+            probe_emb.append(np.asarray(embed(fake)))
+            probe_lbl.append(batch["label"])
+            ge = np.asarray(embed(gt))
+            for i, lbl in enumerate(batch["label"]):
+                gallery.setdefault(int(lbl), ge[i])
+
+    out = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
+           "num_images": len(ds)}
+    if embed is not None and gallery:
+        g_lbl = np.asarray(sorted(gallery))
+        g_emb = np.stack([gallery[int(l)] for l in g_lbl])
+        out["rank1"] = float(
+            rank1_accuracy(
+                jnp.asarray(np.concatenate(probe_emb)),
+                jnp.asarray(np.concatenate(probe_lbl)),
+                jnp.asarray(g_emb), jnp.asarray(g_lbl),
+            )
+        )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_synthesize(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -170,6 +249,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--identity-checkpoint", default=None)
     p.add_argument("--log-dir", default=None)
 
+    p = sub.add_parser("eval", help="PSNR/SSIM/Rank-1 evaluation")
+    common(p)
+    p.add_argument("--img-list", default=None)
+    p.add_argument("--identity-checkpoint", default=None)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+
     p = sub.add_parser("synthesize", help="profile -> frontal synthesis")
     common(p)
     p.add_argument("--image", required=True)
@@ -180,7 +266,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     args = parser.parse_args(argv)
     return {"pretrain": cmd_pretrain, "train": cmd_train,
-            "synthesize": cmd_synthesize}[args.command](args)
+            "eval": cmd_eval, "synthesize": cmd_synthesize}[args.command](args)
 
 
 if __name__ == "__main__":
