@@ -72,6 +72,9 @@ def cmd_train(args) -> int:
     import jax
     import jax.numpy as jnp
 
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+
     from tpgan_tpu.data.multipie import TrainDataset
     from tpgan_tpu.data.pipeline import batch_iterator, prefetch_to_device
     from tpgan_tpu.train.loop import run_gan_training
@@ -248,6 +251,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--identity-checkpoint", default=None)
     p.add_argument("--log-dir", default=None)
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (traps NaNs at the op that "
+                        "produced them; slow, debugging only)")
 
     p = sub.add_parser("eval", help="PSNR/SSIM/Rank-1 evaluation")
     common(p)
