@@ -85,3 +85,23 @@ def test_identity_embed_hook():
     batch = _rand_batch(np.random.RandomState(1))
     _, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert float(metrics["g_identity_preserving"]) > 0.0
+
+
+def test_multi_step_scan():
+    """K train steps in one dispatch via lax.scan — state advances K
+    times and per-step metrics stack."""
+    from tpgan_tpu.train.gan_trainer import make_multi_step
+
+    cfg = make_config(SMALL)
+    state, gen, disc, g_tx, d_tx = create_gan_state(cfg, jax.random.PRNGKey(0))
+    step = make_gan_train_step(cfg, gen, disc, g_tx, d_tx)
+    K = 2
+    multi = jax.jit(make_multi_step(step, K), donate_argnums=0)
+
+    rng = np.random.RandomState(3)
+    single = _rand_batch(rng, b=2)
+    super_batch = {k: jnp.stack([v, v]) for k, v in single.items()}
+    state2, metrics = multi(state, super_batch, jax.random.PRNGKey(1))
+    assert int(state2.step) == K
+    assert metrics["g_loss"].shape == (K,)
+    assert np.isfinite(np.asarray(metrics["g_loss"])).all()

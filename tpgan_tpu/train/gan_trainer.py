@@ -242,6 +242,32 @@ def make_gan_train_step(
     return train_step
 
 
+def make_multi_step(train_step, num_steps: int):
+    """Wrap a train step into a ``lax.scan`` over ``num_steps`` so one
+    host dispatch executes K optimizer steps back to back on-device.
+
+    The wrapped function takes a super-batch pytree whose arrays carry a
+    leading (num_steps, ...) axis and returns (final state, metrics
+    stacked over steps). This amortises host->device dispatch latency —
+    decisive when the host is remote from the chip (PJRT proxies) or slow
+    relative to the step time, and harmless otherwise."""
+
+    def multi_step(state, super_batch: Batch, rng: jax.Array):
+        def body(carry, inputs):
+            st, r = carry
+            batch, = inputs
+            r, sr = jax.random.split(r)
+            st, metrics = train_step(st, batch, sr)
+            return (st, r), metrics
+
+        (state, _), metrics = jax.lax.scan(
+            body, (state, rng), (super_batch,), length=num_steps
+        )
+        return state, metrics
+
+    return multi_step
+
+
 def make_synthesize_fn(cfg: Config, gen: Generator):
     """Inference: profile image + patches + noise -> frontalized face.
     Jit-compile the returned function for serving."""
