@@ -314,3 +314,89 @@ def test_kaiming_init_statistics():
     )
     expected_std_d = np.sqrt(2.0) / np.sqrt(128 * 9)
     assert abs(float(jnp.std(kd)) - expected_std_d) / expected_std_d < 0.05
+
+
+def test_convblock_pre_activation_matches_torch():
+    """pre_activation moves the BN/act packaging before the conv, sized
+    by in_channels (ModificationLayer.py:116-119)."""
+    cin, cout = 4, 6
+    x = rand_nchw(3, cin, 6, 6, seed=51)
+    tconv = tnn.Conv2d(cin, cout, 3, 1, 1, bias=False)
+    tbn = tnn.BatchNorm2d(cin)
+    tbn.train()
+    tx = torch.from_numpy(x)
+    want = tconv(torch.nn.functional.leaky_relu(tbn(tx), 0.01)).detach().numpy()
+
+    mod = ConvBlock(
+        cin, cout, 3, 1, 1, weight_init="kaiming",
+        activation=act_lib.LEAKY_RELU, use_batchnorm=True, pre_activation=True,
+    )
+    v = mod.init(jax.random.PRNGKey(0), jnp.asarray(nchw_to_nhwc(x)))
+    v["params"]["conv"]["kernel"] = jnp.asarray(conv_w_to_hwio(tconv.weight))
+    got, _ = mod.apply(
+        v, jnp.asarray(nchw_to_nhwc(x)), train=True, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(nhwc_to_nchw(np.asarray(got)), want, **TOL)
+
+
+def test_residual_block_bottleneck_matches_torch():
+    """Bottleneck: act(c2(act(c1(act(c0(x))))) + x) with 1x1 -> kxk -> 1x1
+    and halved mid channels (ModificationLayer.py:286-290)."""
+    c = 8
+    x = rand_nchw(2, c, 8, 8, seed=61)
+    t0 = tnn.Conv2d(c, c // 2, 1, 1, 0)
+    t1 = tnn.Conv2d(c // 2, c // 2, 3, 1, 1)
+    t2 = tnn.Conv2d(c // 2, c, 1, 1, 0)
+    tx = torch.from_numpy(x)
+    lr = lambda t: torch.nn.functional.leaky_relu(t, 0.01)
+    want = lr(t2(lr(t1(lr(t0(tx))))) + tx).detach().numpy()
+
+    mod = ResidualBlock(
+        c, c, kernel_size=3, is_bottleneck=True, activation=act_lib.LEAKY_RELU
+    )
+    v = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, c)))
+    for name, t in (("conv0", t0), ("conv1", t1), ("conv2", t2)):
+        v["params"][name]["conv"]["kernel"] = jnp.asarray(conv_w_to_hwio(t.weight))
+        v["params"][name]["conv"]["bias"] = jnp.asarray(t.bias.detach().numpy())
+    got = mod.apply(v, jnp.asarray(nchw_to_nhwc(x)))
+    np.testing.assert_allclose(nhwc_to_nchw(np.asarray(got)), want, **TOL)
+
+
+def test_deconvblock_bn_ordering():
+    """DeconvBlock with BN: deconv -> BN -> ReLU, bias omitted
+    (ModificationLayer.py:187-198)."""
+    cin, cout = 4, 6
+    x = rand_nchw(3, cin, 5, 5, seed=71)
+    td = tnn.ConvTranspose2d(cin, cout, 3, 2, 1, output_padding=1, bias=False)
+    tbn = tnn.BatchNorm2d(cout)
+    tbn.train()
+    want = torch.relu(tbn(td(torch.from_numpy(x)))).detach().numpy()
+
+    mod = DeconvBlock(
+        cin, cout, 3, 2, 1, 1, weight_init="kaiming",
+        activation=("relu", 0.0), use_batchnorm=True,
+    )
+    v = mod.init(jax.random.PRNGKey(0), jnp.asarray(nchw_to_nhwc(x)))
+    assert "bias" not in v["params"]["deconv"]
+    v["params"]["deconv"]["kernel"] = jnp.asarray(deconv_w_to_ours(td.weight))
+    got, _ = mod.apply(
+        v, jnp.asarray(nchw_to_nhwc(x)), train=True, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(nhwc_to_nchw(np.asarray(got)), want, **TOL)
+
+
+def test_linear_block_with_bn():
+    """LinearBlock with BN: no bias, BN over features, then activation."""
+    fin, fout = 6, 5
+    x = rand_nchw(4, fin, 1, 1, seed=81)[:, :, 0, 0]
+    tlin = tnn.Linear(fin, fout, bias=False)
+    tbn = tnn.BatchNorm1d(fout)
+    tbn.train()
+    want = torch.relu(tbn(tlin(torch.from_numpy(x)))).detach().numpy()
+
+    mod = LinearBlock(fin, fout, activation=("relu", 0.0), use_batchnorm=True)
+    v = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    assert "bias" not in v["params"]
+    v["params"]["kernel"] = jnp.asarray(tlin.weight.detach().numpy().T)
+    got, _ = mod.apply(v, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got), want, **TOL)
