@@ -105,3 +105,31 @@ def test_multi_step_scan():
     assert int(state2.step) == K
     assert metrics["g_loss"].shape == (K,)
     assert np.isfinite(np.asarray(metrics["g_loss"])).all()
+
+
+def test_gan_train_step_with_batchnorm():
+    """use_batchnorm=True end to end: BN running stats thread through the
+    alternation and advance (the reference's ctor-default configuration,
+    D_and_G_model.py:351)."""
+    cfg = make_config({
+        "G": {"fm_multiplier": 0.25, "local_feature_layer_dim": 16,
+              "use_batchnorm": True},
+        "D": {"fm_multiplier": 0.25, "use_batchnorm": True},
+        "compute_dtype": "float32",
+    })
+    state, gen, disc, g_tx, d_tx = create_gan_state(cfg, jax.random.PRNGKey(0))
+    assert state.g_batch_stats and state.d_batch_stats
+    step = jax.jit(
+        make_gan_train_step(cfg, gen, disc, g_tx, d_tx), donate_argnums=0
+    )
+    batch = _rand_batch(np.random.RandomState(5))
+    g_mean_before = np.asarray(
+        jax.tree.leaves(state.g_batch_stats)[0]
+    ).copy()
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["g_loss"]))
+    assert np.isfinite(float(metrics["d_loss"]))
+    g_mean_after = np.asarray(jax.tree.leaves(state2.g_batch_stats)[0])
+    assert not np.allclose(g_mean_after, g_mean_before)
+    d_leaves = jax.tree.leaves(state2.d_batch_stats)
+    assert any(not np.allclose(np.asarray(x), 0.0) for x in d_leaves)

@@ -50,6 +50,10 @@ class GANTrainState(flax.struct.PyTreeNode):
     d_params: Any
     g_opt_state: Any
     d_opt_state: Any
+    # BatchNorm running statistics (empty dicts when use_batchnorm=False,
+    # the reference GAN config default, config.py:62,68)
+    g_batch_stats: Any = flax.struct.field(default_factory=dict)
+    d_batch_stats: Any = flax.struct.field(default_factory=dict)
 
 
 def build_models(cfg: Config, dtype=None) -> Tuple[Generator, Discriminator]:
@@ -113,14 +117,6 @@ def create_gan_state(
         batch["nose"], batch["mouth"], jnp.zeros((1, cfg.G.zdim)),
     )
     d_vars = jax.jit(disc.init)(d_rng, batch["img"])
-    if "batch_stats" in g_vars or "batch_stats" in d_vars:
-        raise NotImplementedError(
-            "BatchNorm inside the WGAN-GP G/D alternation is not supported: "
-            "the gradient penalty assumes a per-sample critic and BN couples "
-            "samples (the reference's own GAN config disables it, "
-            "config.py:62,68). Set G.use_batchnorm=False and "
-            "D.use_batchnorm=False."
-        )
     g_tx = adam_wgan(cfg.train.learning_rate, cfg.train.beta1, cfg.train.beta2)
     d_tx = adam_wgan(cfg.train.learning_rate, cfg.train.beta1, cfg.train.beta2)
     state = GANTrainState(
@@ -129,6 +125,8 @@ def create_gan_state(
         d_params=d_vars["params"],
         g_opt_state=g_tx.init(g_vars["params"]),
         d_opt_state=d_tx.init(d_vars["params"]),
+        g_batch_stats=dict(g_vars.get("batch_stats", {})),
+        d_batch_stats=dict(d_vars.get("batch_stats", {})),
     )
     return state, gen, disc, g_tx, d_tx
 
@@ -146,14 +144,19 @@ def make_gan_train_step(
     loss_cfg = cfg.loss
     zdim = cfg.G.zdim
 
-    def g_forward(g_params, batch: Batch, z, drop_rng):
-        return gen.apply(
-            {"params": g_params},
+    def g_forward(g_params, g_stats, batch: Batch, z, drop_rng):
+        """Generator forward in train mode. Returns (out, new batch
+        stats); with BN disabled the stats are empty dicts throughout."""
+        out, mutated = gen.apply(
+            {"params": g_params, "batch_stats": g_stats},
             batch["img"], batch["left_eye"], batch["right_eye"],
             batch["nose"], batch["mouth"], z,
             use_dropout=True,
+            train=True,
             rngs={"dropout": drop_rng},
+            mutable=["batch_stats"],
         )
+        return out, dict(mutated.get("batch_stats", {}))
 
     if cfg.train.remat:
         # rematerialise the generator forward during backward: activations
@@ -170,27 +173,40 @@ def make_gan_train_step(
         real = batch["img_frontal"]
 
         # ---------------- critic update (WGAN-GP) ----------------
-        fake_for_d = jax.lax.stop_gradient(
-            g_forward(state.g_params, batch, z, drop_rng).img128_fake
+        g_out_d, g_stats = g_forward(
+            state.g_params, state.g_batch_stats, batch, z, drop_rng
         )
+        fake_for_d = jax.lax.stop_gradient(g_out_d.img128_fake)
 
         def d_loss_fn(d_params):
-            critic = lambda x: disc.apply({"params": d_params}, x)
-            real_scores = critic(real)
-            fake_scores = critic(fake_for_d)
+            # train-mode critic; running stats persist from the
+            # real-images pass only (the fake/GP passes normalise with
+            # their own batch stats but don't advance the running ones —
+            # output-equivalent to torch's sequential updates)
+            def critic(x, stats, update=False):
+                out, mutated = disc.apply(
+                    {"params": d_params, "batch_stats": stats},
+                    x, train=True, mutable=["batch_stats"],
+                )
+                return (out, dict(mutated.get("batch_stats", {}))) if update else out
+
+            real_scores, d_stats = critic(real, state.d_batch_stats, update=True)
+            fake_scores = critic(fake_for_d, state.d_batch_stats)
+            gp = gradient_penalty(
+                lambda x: critic(x, state.d_batch_stats), real, fake_for_d, gp_rng
+            )
             w_loss = discriminator_loss(real_scores, fake_scores)
-            gp = gradient_penalty(critic, real, fake_for_d, gp_rng)
             loss = w_loss + loss_cfg.weight_gradient_penalty * gp
-            return loss, {
+            return loss, ({
                 "d_wasserstein": w_loss,
                 "d_gradient_penalty": gp,
                 "d_real_mean": jnp.mean(real_scores),
                 "d_fake_mean": jnp.mean(fake_scores),
-            }
+            }, d_stats)
 
-        (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            state.d_params
-        )
+        (d_loss, (d_aux, d_stats)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.d_params)
         d_updates, d_opt_state = d_tx.update(
             d_grads, state.d_opt_state, state.d_params
         )
@@ -203,8 +219,11 @@ def make_gan_train_step(
         )
 
         def g_loss_fn(g_params):
-            out = g_forward(g_params, batch, z, drop_rng2)
-            fake_scores = disc.apply({"params": d_params}, out.img128_fake)
+            out, new_g_stats = g_forward(g_params, g_stats, batch, z, drop_rng2)
+            fake_scores = disc.apply(
+                {"params": d_params, "batch_stats": d_stats},
+                out.img128_fake, train=True, mutable=["batch_stats"],
+            )[0]
             comps = generator_loss_components(
                 fake128=out.img128_fake,
                 fake_scores=fake_scores,
@@ -218,11 +237,11 @@ def make_gan_train_step(
                 cfg=loss_cfg,
                 identity_embed=identity_embed,
             )
-            return total_generator_loss(comps, loss_cfg), comps
+            return total_generator_loss(comps, loss_cfg), (comps, new_g_stats)
 
-        (g_loss, g_comps), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params
-        )
+        (g_loss, (g_comps, g_stats_new)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params)
         g_updates, g_opt_state = g_tx.update(
             g_grads, state.g_opt_state, state.g_params
         )
@@ -236,6 +255,8 @@ def make_gan_train_step(
             d_params=d_params,
             g_opt_state=g_opt_state,
             d_opt_state=d_opt_state,
+            g_batch_stats=g_stats_new,
+            d_batch_stats=d_stats,
         )
         return new_state, metrics
 
