@@ -83,3 +83,37 @@ def test_full_size_generator_traces():
     d_vars = jax.eval_shape(disc.init, jax.random.PRNGKey(0), args[0])
     scores = jax.eval_shape(disc.apply, d_vars, args[0])
     assert scores.shape == (b, 4, 4, 1)
+
+
+def test_cli_pretrain_end_to_end(tmp_path):
+    """cmd_pretrain over a synthetic CelebA layout: parses labels, walks
+    images, letterboxes, runs jitted steps, checkpoints."""
+    from PIL import Image
+
+    from tpgan_tpu import cli
+
+    root = tmp_path / "celeba"
+    (root / "imgs").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    lines = ["6", "header"]
+    for i in range(6):
+        arr = (rng.rand(218, 178, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / "imgs" / f"{i:06d}.jpg")
+        lines.append(f"{i:06d}.jpg 60 100 120 100 90 140 70 170 110 170")
+    (root / "list_landmarks_celeba.txt").write_text("\n".join(lines) + "\n")
+
+    rc = cli.main([
+        "pretrain",
+        "--checkpoint", str(tmp_path / "ck"),
+        "--set", f"pretrain.data_root_dir={root}",
+        "--set", f"pretrain.log_root_dir={tmp_path / 'logs'}",
+        "--set", "pretrain.image_size=64",
+        "--set", "pretrain.batch_size=2",
+        "--set", "pretrain.num_epochs=1",
+        "--set", "pretrain.train_data_ratio=0.84",
+        "--set", "pretrain.validation_data_ratio=0.0",
+    ])
+    assert rc == 0
+    from tpgan_tpu.train.checkpoint import latest_step
+
+    assert latest_step(str(tmp_path / "ck")) is not None
