@@ -30,15 +30,43 @@ def _manager(directory: str, max_to_keep: int = 5):
     )
 
 
-def save_checkpoint(directory: str, step: int, state: Any, max_to_keep: int = 5):
+_async_managers = {}
+
+
+def save_checkpoint(
+    directory: str, step: int, state: Any, max_to_keep: int = 5,
+    block: bool = True,
+):
     """Save a pytree (e.g. GANTrainState: params + optimizer state + step)
-    under ``directory/<step>``. Blocks until written."""
+    under ``directory/<step>``.
+
+    ``block=False`` returns as soon as the on-device state is snapshotted
+    and writes in the background (Orbax async) — the training loop keeps
+    stepping while the previous checkpoint flushes. The manager is kept
+    alive per directory; ``finalize_checkpoints`` (or the next blocking
+    save) joins outstanding writes."""
     import orbax.checkpoint as ocp
 
-    mgr = _manager(directory, max_to_keep)
+    if block:
+        mgr = _manager(directory, max_to_keep)
+        mgr.save(step, args=ocp.args.StandardSave(state))
+        mgr.wait_until_finished()
+        mgr.close()
+        return
+    mgr = _async_managers.get(directory)
+    if mgr is None:
+        mgr = _async_managers[directory] = _manager(directory, max_to_keep)
     mgr.save(step, args=ocp.args.StandardSave(state))
-    mgr.wait_until_finished()
-    mgr.close()
+
+
+def finalize_checkpoints(directory: Optional[str] = None):
+    """Join background checkpoint writes (one directory, or all)."""
+    dirs = [directory] if directory else list(_async_managers)
+    for d in dirs:
+        mgr = _async_managers.pop(d, None)
+        if mgr is not None:
+            mgr.wait_until_finished()
+            mgr.close()
 
 
 def latest_step(directory: str) -> Optional[int]:

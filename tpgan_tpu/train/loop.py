@@ -16,6 +16,7 @@ from tpgan_tpu.config import Config
 from tpgan_tpu.parallel.mesh import make_mesh
 from tpgan_tpu.parallel.sharding import batch_shardings, shard_gan_state
 from tpgan_tpu.train.checkpoint import (
+    finalize_checkpoints,
     latest_step,
     restore_checkpoint,
     save_checkpoint,
@@ -98,8 +99,13 @@ def run_gan_training(
             and cfg.train.checkpoint_every_steps
             and i % cfg.train.checkpoint_every_steps == 0
         ):
-            save_checkpoint(checkpoint_dir, i, jax.device_get(state))
+            # async: the write flushes in the background while training
+            # continues; the final blocking save below joins it
+            save_checkpoint(
+                checkpoint_dir, i, jax.device_get(state), block=False
+            )
 
     if checkpoint_dir:
+        finalize_checkpoints(checkpoint_dir)
         save_checkpoint(checkpoint_dir, int(state.step), jax.device_get(state))
     return jax.device_get(state)
