@@ -210,3 +210,45 @@ def test_synthetic_batch_contract():
     assert set(syn) == set(ex)
     for k in ex:
         assert syn[k].shape == ex[k].shape, k
+
+
+def test_packed_dataset_roundtrip(tmp_path):
+    """pack -> memmap-read parity (within uint8 quantisation) and batch
+    iteration over the packed reader."""
+    from tpgan_tpu.data.packing import PackedDataset, pack_dataset
+    from tpgan_tpu.data.synthetic import synthetic_gan_batch
+
+    class Source:
+        def __init__(self, n):
+            self.items = [
+                {k: v[0] for k, v in synthetic_gan_batch(1, seed=i).items()}
+                for i in range(n)
+            ]
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    src = Source(5)
+    out = str(tmp_path / "packed")
+    pack_dataset(src, out, shard_size=2)
+
+    ds = PackedDataset(out)
+    assert len(ds) == 5
+    for i in (0, 2, 4):  # spans shard boundaries
+        got = ds[i]
+        want = src[i]
+        assert set(got) == set(want)
+        assert int(got["label"]) == int(want["label"])
+        for k in want:
+            if k == "label":
+                continue
+            assert got[k].dtype == np.float32
+            # uint8 quantisation error bound: 2/255 per value
+            assert np.abs(got[k] - want[k]).max() <= (2.0 / 255.0) + 1e-6, k
+
+    batches = list(batch_iterator(ds, 2, shuffle=False, epochs=1))
+    assert len(batches) == 2
+    assert batches[0]["img"].shape == (2, 128, 128, 3)

@@ -1,0 +1,96 @@
+"""Packed-shard dataset format for production input pipelines.
+
+The reference reads 15 individual PNG files per training item through PIL
+(DataAndDataset.py:206-215) — hundreds of filesystem operations and
+decodes per batch. Here a one-time packing pass serialises a dataset into
+fixed-shape uint8 shards (4x smaller than float32, zero decode cost);
+the reader memory-maps the shards, slices batches without copies, and
+converts uint8 -> [-1, 1] float through the native C++ kernel
+(``tpgan_tpu.data.native``) on the way to the device.
+
+Format: ``<out_dir>/shard_<i>_<key>.npy`` (standard .npy, mmap-able) +
+``<out_dir>/index.json`` with keys, shapes, dtypes, and counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+INDEX_NAME = "index.json"
+
+
+def pack_dataset(dataset, out_dir: str, shard_size: int = 1024) -> None:
+    """Serialise an indexable dataset of dict items (float arrays in
+    [-1, 1] plus integer 'label') into packed uint8 shards."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(dataset)
+    keys = None
+    shard_idx = 0
+    meta: Dict = {"num_items": n, "shards": [], "keys": {}}
+
+    for start in range(0, n, shard_size):
+        items = [dataset[i] for i in range(start, min(start + shard_size, n))]
+        if keys is None:
+            keys = sorted(items[0].keys())
+        for key in keys:
+            arrs = np.stack([it[key] for it in items])
+            if key == "label":
+                data = arrs.astype(np.int32)
+            else:
+                data = np.clip((arrs + 1.0) * 127.5, 0, 255).astype(np.uint8)
+            np.save(os.path.join(out_dir, f"shard_{shard_idx}_{key}.npy"), data)
+            meta["keys"][key] = {
+                "shape": list(data.shape[1:]),
+                "dtype": str(data.dtype),
+            }
+        meta["shards"].append(len(items))
+        shard_idx += 1
+
+    with open(os.path.join(out_dir, INDEX_NAME), "w") as f:
+        json.dump(meta, f)
+
+
+class PackedDataset:
+    """Memory-mapped reader over packed shards; item = the same dict the
+    source dataset produced (uint8 converted back to [-1, 1] float via
+    the native kernel)."""
+
+    def __init__(self, directory: str):
+        with open(os.path.join(directory, INDEX_NAME)) as f:
+            self.meta = json.load(f)
+        self.directory = directory
+        self._mmaps: Dict[int, Dict[str, np.ndarray]] = {}
+        self._offsets = np.cumsum([0] + self.meta["shards"])
+
+    def __len__(self) -> int:
+        return int(self.meta["num_items"])
+
+    def _shard_for(self, idx: int):
+        shard = int(np.searchsorted(self._offsets, idx, side="right") - 1)
+        return shard, idx - int(self._offsets[shard])
+
+    def _maps(self, shard: int) -> Dict[str, np.ndarray]:
+        if shard not in self._mmaps:
+            self._mmaps[shard] = {
+                key: np.load(
+                    os.path.join(self.directory, f"shard_{shard}_{key}.npy"),
+                    mmap_mode="r",
+                )
+                for key in self.meta["keys"]
+            }
+        return self._mmaps[shard]
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        from tpgan_tpu.data import native
+
+        shard, local = self._shard_for(idx)
+        maps = self._maps(shard)
+        out = {}
+        for key, arr in maps.items():
+            rec = np.asarray(arr[local])
+            out[key] = rec if key == "label" else native.u8_to_pm1(rec)
+        return out
