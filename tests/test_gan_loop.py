@@ -50,3 +50,18 @@ def test_run_gan_training_with_checkpoint_and_resume(tmp_path):
         CFG, _batches(2), steps=2, checkpoint_dir=ckpt, resume=True,
     )
     assert int(state2.step) == 5
+
+
+def test_run_gan_training_profiler(tmp_path):
+    """jax.profiler trace capture over a step window writes a trace dir."""
+    import os
+
+    prof = str(tmp_path / "prof")
+    run_gan_training(
+        CFG, _batches(3), steps=3, profile_dir=prof, profile_steps=(1, 2),
+    )
+    assert os.path.isdir(prof)
+    found = []
+    for root, _dirs, files in os.walk(prof):
+        found.extend(files)
+    assert found, "no profiler artifacts written"
