@@ -79,6 +79,8 @@ def make_full_inference_fn(generator, detector_input_size: int = 256):
     frontalized (B, 128, 128, 3) in [-1, 1]. Landmarks are detected on a
     fixed-size copy and rescaled; everything jits as one program."""
 
+    generator = generator.clone(accum_f32=True)  # inference: fast convs
+
     def infer(g_params, detector_variables, images, z):
         b, h, w, _ = images.shape
         s = detector_input_size

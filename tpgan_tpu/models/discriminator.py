@@ -23,6 +23,7 @@ class Discriminator(nn.Module):
     use_batchnorm: bool = False
     fm_multiplier: float = 1.0
     dtype: Any = jnp.float32
+    accum_f32: bool = True  # False when training (double grads for WGAN-GP)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -36,14 +37,14 @@ class Discriminator(nn.Module):
             h = ConvBlock(
                 n_fmap[i], n_fmap[i + 1], 3, 2, 1, "kaiming", lrelu2,
                 use_batchnorm=self.use_batchnorm, dtype=self.dtype,
-                name=f"conv{i}",
+                accum_f32=self.accum_f32, name=f"conv{i}",
             )(h, train=train)
             if i >= 3:  # residual blocks from layer 4 (D_and_G_model.py:428-429)
                 h = ResidualBlock(
                     n_fmap[i + 1], activation=LEAKY_RELU, dtype=self.dtype,
-                    name=f"res{i}",
+                    accum_f32=self.accum_f32, name=f"res{i}",
                 )(h, train=train)
         return ConvBlock(
             n_fmap[-1], 1, 3, 1, 1, None, None, use_batchnorm=False,
-            dtype=self.dtype, name="head",
+            dtype=self.dtype, accum_f32=self.accum_f32, name="head",
         )(h, train=train)

@@ -32,6 +32,7 @@ class MobileNetV2Classifier(nn.Module):
     num_of_output_classes: int = 1000
     dropout_rate: float = 0.2
     dtype: Any = jnp.float32
+    accum_f32: bool = True
 
     @nn.compact
     def __call__(
@@ -39,7 +40,8 @@ class MobileNetV2Classifier(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         he = dict(kernel_init=init_lib.he_ssd_conv(), bias_init=init_lib.zeros)
         h = Conv2d(
-            3, 32, 3, 2, 1, use_bias=False, dtype=self.dtype, name="stem", **he
+            3, 32, 3, 2, 1, use_bias=False, dtype=self.dtype,
+            accum_f32=self.accum_f32, name="stem", **he
         )(x)
         h = BatchNorm2d(32, dtype=self.dtype, name="stem_bn")(h, train=train)
         h = apply_activation(h, RELU6)
@@ -49,12 +51,13 @@ class MobileNetV2Classifier(nn.Module):
             for rep in range(n):
                 h = InvertedResidual(
                     cin, c, s if rep == 0 else 1, t, dtype=self.dtype,
-                    name=f"block{idx}",
+                    accum_f32=self.accum_f32, name=f"block{idx}",
                 )(h, train=train)
                 cin = c
                 idx += 1
         h = Conv2d(
-            320, 1280, 1, 1, 0, use_bias=False, dtype=self.dtype, name="conv2", **he
+            320, 1280, 1, 1, 0, use_bias=False, dtype=self.dtype,
+            accum_f32=self.accum_f32, name="conv2", **he
         )(h)
         h = BatchNorm2d(1280, dtype=self.dtype, name="conv2_bn")(h, train=train)
         h = apply_activation(h, RELU6)
@@ -72,6 +75,7 @@ class FeatureExtractModel(nn.Module):
     num_of_output_classes: int = 1000
     feature_layer_dim_before_fc: Optional[int] = 256
     dtype: Any = jnp.float32
+    accum_f32: bool = True
 
     @nn.compact
     def __call__(
@@ -83,12 +87,14 @@ class FeatureExtractModel(nn.Module):
                 num_of_output_classes=self.num_of_output_classes,
                 feature_layer_dim_before_fc=self.feature_layer_dim_before_fc,
                 dtype=self.dtype,
+                accum_f32=self.accum_f32,
                 name="base",
             )(x, use_dropout=use_dropout, train=train)
         if name == "mobilenetv2":
             return MobileNetV2Classifier(
                 num_of_output_classes=self.num_of_output_classes,
                 dtype=self.dtype,
+                accum_f32=self.accum_f32,
                 name="base",
             )(x, use_dropout=use_dropout, train=train)
         raise ValueError(

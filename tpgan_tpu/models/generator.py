@@ -59,6 +59,7 @@ class Generator(nn.Module):
     fm_multiplier: float = 1.0
     local_feature_layer_dim: int = 64
     dtype: Any = jnp.float32
+    accum_f32: bool = True  # fast MXU f32-emit convs; False when training
 
     @nn.compact
     def __call__(
@@ -77,6 +78,7 @@ class Generator(nn.Module):
             dtype=self.dtype,
             fm_multiplier=self.fm_multiplier,
             feature_layer_dim=self.local_feature_layer_dim,
+            accum_f32=self.accum_f32,
         )
 
         # Four independent per-part U-Nets (D_and_G_model.py:363-366,390-393)
@@ -102,6 +104,7 @@ class Generator(nn.Module):
             use_residual_block=self.use_residual_block,
             fm_multiplier=self.fm_multiplier,
             dtype=self.dtype,
+            accum_f32=self.accum_f32,
             name="global_pathway",
         )(i128, fused_fake, fused_feature, z, train=train)
 

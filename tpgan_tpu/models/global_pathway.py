@@ -40,6 +40,7 @@ class GlobalPathway(nn.Module):
     scaling_factor: float = 1.0
     fm_multiplier: float = 1.0
     dtype: Any = jnp.float32
+    accum_f32: bool = True  # see ops.blocks.Conv2d.accum_f32
 
     @nn.compact
     def __call__(
@@ -54,8 +55,10 @@ class GlobalPathway(nn.Module):
         dec = scale_channels([64, 32, 16, 8], self.fm_multiplier)
         enh = scale_channels([512, 256, 128, 64], self.fm_multiplier)
         head = scale_channels([64, 32], self.fm_multiplier)
-        kw = dict(use_batchnorm=self.use_batchnorm, dtype=self.dtype)
-        rb_kw = dict(scaling_factor=self.scaling_factor, dtype=self.dtype)
+        kw = dict(use_batchnorm=self.use_batchnorm, dtype=self.dtype,
+                  accum_f32=self.accum_f32)
+        rb_kw = dict(scaling_factor=self.scaling_factor, dtype=self.dtype,
+                     accum_f32=self.accum_f32)
         lrelu2 = leaky_relu(1e-2)
 
         def enc_stage(name, cin, cout, k, stride, pad, n_res):
@@ -114,12 +117,12 @@ class GlobalPathway(nn.Module):
         h = jnp.concatenate([deconv_8, conv4], axis=-1)
         h = ResidualBlock(
             dim8, dim8, 2, 1, (1, 0, 1, 0), activation=LEAKY_RELU,
-            name="add_8", dtype=self.dtype,
+            name="add_8", dtype=self.dtype, accum_f32=self.accum_f32,
         )(h, train=train)
         for i in range(2):
             h = ResidualBlock(
                 dim8, dim8, 2, 1, (1, 0, 1, 0), activation=LEAKY_RELU,
-                name=f"enhance_8_{i}", dtype=self.dtype,
+                name=f"enhance_8_{i}", dtype=self.dtype, accum_f32=self.accum_f32,
             )(h, train=train)
         assert h.shape[1] == 8, h.shape
         h = DeconvBlock(
@@ -128,14 +131,14 @@ class GlobalPathway(nn.Module):
 
         # ---- scale 16 (D_and_G_model.py:242-247, :306-309) ----
         a16 = ResidualBlock(
-            enc[3], activation=LEAKY_RELU, name="add_16", dtype=self.dtype
+            enc[3], activation=LEAKY_RELU, name="add_16", dtype=self.dtype, accum_f32=self.accum_f32
         )(conv3, train=train)
         h = jnp.concatenate([h, a16], axis=-1)
         dim16 = enh[0] + enc[3]
         for i in range(2):
             h = ResidualBlock(
                 dim16, activation=LEAKY_RELU, name=f"enhance_16_{i}",
-                dtype=self.dtype,
+                dtype=self.dtype, accum_f32=self.accum_f32,
             )(h, train=train)
         assert h.shape[1] == 16, h.shape
         h = DeconvBlock(
@@ -145,14 +148,14 @@ class GlobalPathway(nn.Module):
         # ---- scale 32 (D_and_G_model.py:250-256, :311-315) ----
         dim32 = enc[2] + dec[1]
         a32 = ResidualBlock(
-            dim32, activation=LEAKY_RELU, name="add_32", dtype=self.dtype
+            dim32, activation=LEAKY_RELU, name="add_32", dtype=self.dtype, accum_f32=self.accum_f32
         )(jnp.concatenate([deconv_32, conv2], axis=-1), train=train)
         h = jnp.concatenate([h, a32], axis=-1)
         dim32e = enh[1] + dim32
         for i in range(2):
             h = ResidualBlock(
                 dim32e, activation=LEAKY_RELU, name=f"enhance_32_{i}",
-                dtype=self.dtype,
+                dtype=self.dtype, accum_f32=self.accum_f32,
             )(h, train=train)
         h = DeconvBlock(
             dim32e, enh[2], 3, 2, 1, 1, "kaiming", RELU, name="upsample_64", **kw
@@ -162,14 +165,14 @@ class GlobalPathway(nn.Module):
         dim64 = enc[1] + dec[2]
         a64 = ResidualBlock(
             dim64, kernel_size=5, activation=LEAKY_RELU, name="add_64",
-            dtype=self.dtype,
+            dtype=self.dtype, accum_f32=self.accum_f32,
         )(jnp.concatenate([deconv_64, conv1], axis=-1), train=train)
         h = jnp.concatenate([h, a64], axis=-1)
         dim64e = enh[2] + dim64
         for i in range(2):
             h = ResidualBlock(
                 dim64e, activation=LEAKY_RELU, name=f"enhance_64_{i}",
-                dtype=self.dtype,
+                dtype=self.dtype, accum_f32=self.accum_f32,
             )(h, train=train)
         h = DeconvBlock(
             dim64e, enh[3], 3, 2, 1, 1, "kaiming", RELU, name="upsample_128", **kw
@@ -180,7 +183,7 @@ class GlobalPathway(nn.Module):
         dim128 = dec[3] + enc[0] + 3
         a128 = ResidualBlock(
             dim128, kernel_size=7, activation=LEAKY_RELU, name="add_128",
-            dtype=self.dtype,
+            dtype=self.dtype, accum_f32=self.accum_f32,
         )(jnp.concatenate([deconv_128, conv0, i128.astype(h.dtype)], axis=-1),
           train=train)
         h = jnp.concatenate(
@@ -191,7 +194,7 @@ class GlobalPathway(nn.Module):
         dim128e = enh[3] + dim128 + self.local_feature_layer_dim + 3
         h = ResidualBlock(
             dim128e, kernel_size=5, activation=LEAKY_RELU, name="enhance_128",
-            dtype=self.dtype,
+            dtype=self.dtype, accum_f32=self.accum_f32,
         )(h, train=train)
 
         # ---- head (D_and_G_model.py:274-279, :326-328) ----
@@ -200,7 +203,7 @@ class GlobalPathway(nn.Module):
         )(h, train=train)
         h = ResidualBlock(
             head[0], kernel_size=3, activation=LEAKY_RELU, name="conv5_res",
-            dtype=self.dtype,
+            dtype=self.dtype, accum_f32=self.accum_f32,
         )(h, train=train)
         h = ConvBlock(
             head[0], head[1], 3, 1, 1, "kaiming", LEAKY_RELU, name="conv6", **kw

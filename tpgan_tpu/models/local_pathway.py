@@ -33,6 +33,7 @@ class LocalPathway(nn.Module):
     feature_layer_dim: int = 64
     fm_multiplier: float = 1.0
     dtype: Any = jnp.float32
+    accum_f32: bool = True  # see ops.blocks.Conv2d.accum_f32
 
     @nn.compact
     def __call__(
@@ -40,7 +41,8 @@ class LocalPathway(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         enc = scale_channels([64, 128, 256, 512], self.fm_multiplier)
         dec = scale_channels([256, 128], self.fm_multiplier)
-        kw = dict(use_batchnorm=self.use_batchnorm, dtype=self.dtype)
+        kw = dict(use_batchnorm=self.use_batchnorm, dtype=self.dtype,
+                  accum_f32=self.accum_f32)
         lrelu2 = leaky_relu(1e-2)
 
         def enc_stage(name, cin, cout, stride):
@@ -49,7 +51,8 @@ class LocalPathway(nn.Module):
                     cin, cout, 3, stride, 1, "kaiming", lrelu2, name=f"{name}_conv", **kw
                 )(h, train=train)
                 return ResidualBlock(
-                    cout, activation=LEAKY_RELU, name=f"{name}_res", dtype=self.dtype
+                    cout, activation=LEAKY_RELU, name=f"{name}_res",
+                    dtype=self.dtype, accum_f32=self.accum_f32,
                 )(h, train=train)
 
             return f
@@ -72,7 +75,7 @@ class LocalPathway(nn.Module):
                 )(h, train=train)
                 h = ResidualBlock(
                     cout, activation=LEAKY_RELU, name=f"{name}_select_res",
-                    dtype=self.dtype,
+                    dtype=self.dtype, accum_f32=self.accum_f32,
                 )(h, train=train)
                 return h, up
 
@@ -86,7 +89,8 @@ class LocalPathway(nn.Module):
 
         local_img = ConvBlock(
             self.feature_layer_dim, 3, 1, 1, 0, None, None,
-            use_batchnorm=False, dtype=self.dtype, name="local_img",
+            use_batchnorm=False, dtype=self.dtype, accum_f32=self.accum_f32,
+            name="local_img",
         )(h, train=train)
 
         assert local_img.shape == x.shape, (local_img.shape, x.shape)

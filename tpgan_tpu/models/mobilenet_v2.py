@@ -68,25 +68,27 @@ class InvertedResidual(nn.Module):
     stride: int = 1
     expand_ratio: int = 6
     dtype: Any = jnp.float32
+    accum_f32: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         mid = self.inp * self.expand_ratio
         h = Conv2d(
             self.inp, mid, 1, 1, 0, use_bias=False, dtype=self.dtype,
-            name="expand", **_he_conv(),
+            accum_f32=self.accum_f32, name="expand", **_he_conv(),
         )(x)
         h = BatchNorm2d(mid, dtype=self.dtype, name="expand_bn")(h, train=train)
         h = apply_activation(h, RELU6)
         h = Conv2d(
             mid, mid, 3, self.stride, 1, use_bias=False, groups=mid,
-            dtype=self.dtype, name="depthwise", **_he_conv(),
+            dtype=self.dtype, accum_f32=self.accum_f32, name="depthwise",
+            **_he_conv(),
         )(h)
         h = BatchNorm2d(mid, dtype=self.dtype, name="depthwise_bn")(h, train=train)
         h = apply_activation(h, RELU6)
         h = Conv2d(
             mid, self.oup, 1, 1, 0, use_bias=False, dtype=self.dtype,
-            name="project", **_he_conv(),
+            accum_f32=self.accum_f32, name="project", **_he_conv(),
         )(h)
         h = BatchNorm2d(self.oup, dtype=self.dtype, name="project_bn")(h, train=train)
         if self.stride == 1 and self.inp == self.oup:
@@ -97,6 +99,7 @@ class InvertedResidual(nn.Module):
 class SSDHead(nn.Module):
     num_of_out_classes: int = NUM_LANDMARK_CLASSES
     dtype: Any = jnp.float32
+    accum_f32: bool = True
 
     @nn.compact
     def __call__(
@@ -109,7 +112,7 @@ class SSDHead(nn.Module):
             b = feat.shape[0]
             loc = Conv2d(
                 cin, anchors * num_loc, 3, 1, 1, dtype=self.dtype,
-                name=f"loc{idx}", **_he_conv(),
+                accum_f32=self.accum_f32, name=f"loc{idx}", **_he_conv(),
             )(feat)
             # NHWC already — flatten straight to (B, H*W*anchors, 2); ReLU
             # keeps coordinates non-negative (reference: :67)
@@ -118,7 +121,8 @@ class SSDHead(nn.Module):
 
             cls = Conv2d(
                 cin, anchors * self.num_of_out_classes, 3, 1, 1,
-                dtype=self.dtype, name=f"cls{idx}", **_he_conv(),
+                dtype=self.dtype, accum_f32=self.accum_f32,
+                name=f"cls{idx}", **_he_conv(),
             )(feat)
             classifications.append(cls.reshape(b, -1, self.num_of_out_classes))
 
@@ -131,6 +135,7 @@ class SSDHead(nn.Module):
 class MobileNetV2(nn.Module):
     num_of_out_classes: int = NUM_LANDMARK_CLASSES
     dtype: Any = jnp.float32
+    accum_f32: bool = True  # False when training (grads through convs)
 
     @nn.compact
     def __call__(
@@ -140,8 +145,8 @@ class MobileNetV2(nn.Module):
         features = []
 
         h = Conv2d(
-            3, 32, 3, 2, 1, use_bias=False, dtype=self.dtype, name="stem",
-            **_he_conv(),
+            3, 32, 3, 2, 1, use_bias=False, dtype=self.dtype,
+            accum_f32=self.accum_f32, name="stem", **_he_conv(),
         )(x)
         h = BatchNorm2d(32, dtype=self.dtype, name="stem_bn")(h, train=train)
         h = apply_activation(h, RELU6)
@@ -152,7 +157,7 @@ class MobileNetV2(nn.Module):
             for rep in range(n):
                 h = InvertedResidual(
                     cin, c, s if rep == 0 else 1, t, dtype=self.dtype,
-                    name=f"block{block_idx}",
+                    accum_f32=self.accum_f32, name=f"block{block_idx}",
                 )(h, train=train)
                 cin = c
                 if block_idx == 12:  # first SSD tap (reference: :199-201)
@@ -160,8 +165,8 @@ class MobileNetV2(nn.Module):
                 block_idx += 1
 
         h = Conv2d(
-            320, 1280, 1, 1, 0, use_bias=False, dtype=self.dtype, name="conv2",
-            **_he_conv(),
+            320, 1280, 1, 1, 0, use_bias=False, dtype=self.dtype,
+            accum_f32=self.accum_f32, name="conv2", **_he_conv(),
         )(h)
         h = BatchNorm2d(1280, dtype=self.dtype, name="conv2_bn")(h, train=train)
         h = apply_activation(h, RELU6)
@@ -180,14 +185,16 @@ class MobileNetV2(nn.Module):
         ]
         for i, (ci, co, k, s, p) in enumerate(extra_defs):
             h = Conv2d(
-                ci, co, k, s, p, dtype=self.dtype, name=f"extra{i}", **_he_conv()
+                ci, co, k, s, p, dtype=self.dtype, accum_f32=self.accum_f32,
+                name=f"extra{i}", **_he_conv()
             )(h)
             if i in (1, 3, 4, 6):
                 features.append(h)
 
-        return SSDHead(self.num_of_out_classes, dtype=self.dtype, name="ssd_head")(
-            features
-        )
+        return SSDHead(
+            self.num_of_out_classes, dtype=self.dtype,
+            accum_f32=self.accum_f32, name="ssd_head",
+        )(features)
 
 
 def find_best_coordinates(

@@ -54,12 +54,14 @@ class ResNet18(nn.Module):
     activation: Activation = RELU
     dropout_rate: float = 0.0
     dtype: Any = jnp.float32
+    accum_f32: bool = True  # False when training
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, use_dropout: bool = False, train: bool = False
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-        kw = dict(use_batchnorm=self.use_batchnorm, dtype=self.dtype)
+        kw = dict(use_batchnorm=self.use_batchnorm, dtype=self.dtype,
+                  accum_f32=self.accum_f32)
         h = ConvBlock(
             3, NUM_FEATURES[0], 7, 2, 3, "kaiming", self.activation,
             name="conv1", **kw,
@@ -76,6 +78,7 @@ class ResNet18(nn.Module):
                     use_projection=project,
                     use_batchnorm=self.use_batchnorm,
                     dtype=self.dtype,
+                    accum_f32=self.accum_f32,
                     name=f"section{sec}_block{blk}",
                 )(h, train=train)
                 cin = width

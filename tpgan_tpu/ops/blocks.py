@@ -89,6 +89,12 @@ class Conv2d(nn.Module):
     kernel_init: Any = None  # Initializer; defaults to torch Conv2d default
     bias_init: Any = None
     dtype: Any = jnp.float32
+    # Emit float32 from the MXU (preferred_element_type) — measurably
+    # faster on v5e for bf16 convs (+30% on the synthesis graph) but
+    # incompatible with jax's conv transpose rule under bf16 (mixed-dtype
+    # cotangents). True for inference graphs, False wherever the conv is
+    # differentiated (training).
+    accum_f32: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -107,11 +113,6 @@ class Conv2d(nn.Module):
         x = x.astype(self.dtype)
         if reflect is not None:
             x = reflect_pad(x, reflect)
-        # NOTE: no preferred_element_type here — the MXU accumulates
-        # bf16 convs in f32 internally, and jax's conv transpose rule
-        # rejects mixed f32-cotangent/bf16-kernel operands when the
-        # output dtype is widened (breaks grads through the critic for
-        # WGAN-GP in bfloat16).
         y = lax.conv_general_dilated(
             x,
             kernel.astype(self.dtype),
@@ -119,6 +120,11 @@ class Conv2d(nn.Module):
             padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
+            **(
+                dict(preferred_element_type=jnp.float32)
+                if self.accum_f32
+                else {}
+            ),
         )
         if self.use_bias:
             binit = self.bias_init or init_lib.uniform_bias(
@@ -154,6 +160,7 @@ class ConvTranspose2d(nn.Module):
     kernel_init: Any = None
     bias_init: Any = None
     dtype: Any = jnp.float32
+    accum_f32: bool = True  # see Conv2d.accum_f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -178,6 +185,11 @@ class ConvTranspose2d(nn.Module):
             padding=((kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw)),
             lhs_dilation=(sh, sw),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            **(
+                dict(preferred_element_type=jnp.float32)
+                if self.accum_f32
+                else {}
+            ),
         )
         if self.use_bias:
             # torch ConvTranspose2d bias bound uses fan_in = out*kh*kw
@@ -270,6 +282,7 @@ class ConvBlock(nn.Module):
     pre_activation: bool = False
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    accum_f32: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -284,6 +297,7 @@ class ConvBlock(nn.Module):
                 self.weight_init, negative_slope(self.activation)
             ),
             dtype=self.dtype,
+            accum_f32=self.accum_f32,
             name="conv",
         )
 
@@ -318,6 +332,7 @@ class DeconvBlock(nn.Module):
     pre_activation: bool = False
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    accum_f32: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -333,6 +348,7 @@ class DeconvBlock(nn.Module):
                 self.weight_init, negative_slope(self.activation)
             ),
             dtype=self.dtype,
+            accum_f32=self.accum_f32,
             name="deconv",
         )
 
@@ -405,6 +421,7 @@ class ResidualBlock(nn.Module):
     use_batchnorm: bool = False
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    accum_f32: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -430,6 +447,7 @@ class ResidualBlock(nn.Module):
             use_batchnorm=self.use_batchnorm,
             bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
+            accum_f32=self.accum_f32,
         )
         if self.is_bottleneck:
             h = ConvBlock(
@@ -458,7 +476,7 @@ class ResidualBlock(nn.Module):
             sc = ConvBlock(
                 self.in_channels, out_ch, 1, self.stride, 0,
                 self.weight_init, None, use_batchnorm=False, dtype=self.dtype,
-                name="shortcut",
+                accum_f32=self.accum_f32, name="shortcut",
             )(x, train=train)
         else:
             sc = x

@@ -37,6 +37,7 @@ def create_feature_extract_state(
     model = FeatureExtractModel(
         base_model_name=cfg.feature_extract_model.base_model_name,
         num_of_output_classes=cfg.feature_extract_model.num_of_output_classes,
+        accum_f32=False,  # training differentiates the convs
     )
     variables = jax.jit(model.init)(
         rng, jnp.zeros((1, image_size, image_size, 3), jnp.float32)

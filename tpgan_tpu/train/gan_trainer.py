@@ -60,6 +60,10 @@ def build_models(cfg: Config, dtype=None) -> Tuple[Generator, Discriminator]:
     import jax.numpy as jnp  # local to avoid shadowing
 
     dtype = dtype or jnp.dtype(cfg.compute_dtype)
+    # accum_f32=False: training differentiates every conv (incl. twice
+    # through the critic for WGAN-GP); f32-emitting convs break jax's conv
+    # transpose rule under bf16. Inference paths clone with accum_f32=True
+    # for the ~30% faster MXU f32-emit kernels.
     gen = Generator(
         zdim=cfg.G.zdim,
         num_classes=cfg.G.num_classes,
@@ -68,11 +72,13 @@ def build_models(cfg: Config, dtype=None) -> Tuple[Generator, Discriminator]:
         fm_multiplier=cfg.G.fm_multiplier,
         local_feature_layer_dim=cfg.G.local_feature_layer_dim,
         dtype=dtype,
+        accum_f32=False,
     )
     disc = Discriminator(
         use_batchnorm=cfg.D.use_batchnorm,
         fm_multiplier=cfg.D.fm_multiplier,
         dtype=dtype,
+        accum_f32=False,
     )
     return gen, disc
 
@@ -291,7 +297,10 @@ def make_multi_step(train_step, num_steps: int):
 
 def make_synthesize_fn(cfg: Config, gen: Generator):
     """Inference: profile image + patches + noise -> frontalized face.
-    Jit-compile the returned function for serving."""
+    Jit-compile the returned function for serving. Uses the fast
+    f32-emitting conv variant (same parameters, different compiled
+    kernels — no grads on this path)."""
+    gen = gen.clone(accum_f32=True)
 
     def synthesize(g_params, batch: Batch, z: jnp.ndarray) -> jnp.ndarray:
         out = gen.apply(

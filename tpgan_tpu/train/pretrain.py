@@ -75,7 +75,8 @@ def landmark_accuracy(
 def create_pretrain_state(
     cfg: Config, rng: jax.Array, dtype=jnp.float32, steps_per_epoch: int = 1
 ) -> Tuple[PretrainState, MobileNetV2, optax.GradientTransformation]:
-    model = get_model(cfg.pretrain.model_name, dtype=dtype)
+    # accum_f32=False: the pretrain step differentiates the convs
+    model = get_model(cfg.pretrain.model_name, dtype=dtype, accum_f32=False)
     size = cfg.pretrain.image_size
     variables = jax.jit(model.init)(
         rng, jnp.zeros((1, size, size, 3), jnp.float32)
