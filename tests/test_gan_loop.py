@@ -65,3 +65,21 @@ def test_run_gan_training_profiler(tmp_path):
     for root, _dirs, files in os.walk(prof):
         found.extend(files)
     assert found, "no profiler artifacts written"
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TPGAN_SLOW_TESTS"),
+    reason="scan-of-train-step over the mesh takes ~15 min to compile on "
+    "this 1-core CPU host; covered structurally by test_multi_step_scan. "
+    "Set TPGAN_SLOW_TESTS=1 to run.",
+)
+def test_run_gan_training_multi_step_dispatch(tmp_path):
+    """steps_per_dispatch=2: two optimizer steps per host dispatch."""
+    state = run_gan_training(
+        CFG, _batches(4), steps=4, steps_per_dispatch=2,
+    )
+    assert int(state.step) == 4

@@ -27,6 +27,7 @@ from tpgan_tpu.train.gan_trainer import (
     create_gan_state,
     example_batch,
     make_gan_train_step,
+    make_multi_step,
 )
 from tpgan_tpu.train.metrics import MetricWriter, NaNMonitor, Throughput
 
@@ -44,9 +45,16 @@ def run_gan_training(
     mesh=None,
     profile_dir: Optional[str] = None,
     profile_steps: tuple = (10, 15),
+    steps_per_dispatch: int = 1,
 ) -> GANTrainState:
     """Run ``steps`` train steps over ``batches`` (an iterable of
-    TrainDataset-contract dicts). Returns the final state (host)."""
+    TrainDataset-contract dicts). Returns the final state (host).
+
+    ``steps_per_dispatch > 1`` stacks K consecutive batches and executes
+    K optimizer steps per host dispatch via ``lax.scan``
+    (gan_trainer.make_multi_step) — amortises dispatch latency on
+    remote-PJRT or slow-host setups. ``steps`` is still counted in
+    optimizer steps; metrics report the last step of each dispatch."""
     rng = jax.random.PRNGKey(cfg.train.seed)
     state, gen, disc, g_tx, d_tx = create_gan_state(cfg, rng)
 
@@ -62,18 +70,37 @@ def run_gan_training(
     )
     state = jax.tree.map(jax.device_put, state, state_sh)
 
-    step_fn = jax.jit(
-        make_gan_train_step(cfg, gen, disc, g_tx, d_tx, identity_embed),
-        in_shardings=(state_sh, batch_sh, None),
-        out_shardings=(state_sh, None),
-        donate_argnums=0,
-    )
+    base_step = make_gan_train_step(cfg, gen, disc, g_tx, d_tx, identity_embed)
+    k = max(int(steps_per_dispatch), 1)
+    if k > 1:
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # super-batch sharding: (K, B, ...) with B on the data axis
+        super_sh = jax.tree.map(
+            lambda _s: NamedSharding(mesh, P(None, cfg.mesh.data_axis)),
+            batch_sh,
+        )
+        step_fn = jax.jit(
+            make_multi_step(base_step, k),
+            in_shardings=(state_sh, super_sh, None),
+            out_shardings=(state_sh, None),
+            donate_argnums=0,
+        )
+    else:
+        step_fn = jax.jit(
+            base_step,
+            in_shardings=(state_sh, batch_sh, None),
+            out_shardings=(state_sh, None),
+            donate_argnums=0,
+        )
 
     monitor = NaNMonitor()
     throughput = Throughput()
     throughput.start()
     i = 0
-    for batch in batches:
+    batch_iter = iter(batches)
+    for batch in batch_iter:
         if i >= steps:
             break
         # jax.profiler device trace over a step window (the tracing /
@@ -84,10 +111,24 @@ def run_gan_training(
         if profile_dir is not None and i == profile_steps[1]:
             jax.block_until_ready(state)
             jax.profiler.stop_trace()
+        if k > 1:
+            stack = [batch]
+            for _ in range(k - 1):
+                try:
+                    stack.append(next(batch_iter))
+                except StopIteration:
+                    break
+            if len(stack) < k:
+                break  # not enough batches for a full dispatch
+            import numpy as _np
+
+            batch = jax.tree.map(lambda *xs: jnp.stack(xs), *stack)
         rng, srng = jax.random.split(rng)
         state, metrics = step_fn(state, batch, srng)
-        throughput.count(cfg.train.batch_size)
-        i += 1
+        if k > 1:
+            metrics = jax.tree.map(lambda m: m[-1], metrics)
+        throughput.count(cfg.train.batch_size * k)
+        i += k
         if writer is not None and i % log_every == 0:
             monitor.check(i, metrics)
             host = dict(metrics)
