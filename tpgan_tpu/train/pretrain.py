@@ -151,6 +151,7 @@ def make_pretrain_step(
 def make_eval_step(cfg: Config, model: MobileNetV2):
     size = cfg.pretrain.image_size
     loss_cfg = cfg.pretrain.loss
+    model = model.clone(accum_f32=True)  # no grads on the eval path
 
     def eval_step(state: PretrainState, images, labels, rng):
         loc, cls = model.apply(
