@@ -210,6 +210,7 @@ class GlobalPathway(nn.Module):
         )(h, train=train)
         decoded = ConvBlock(
             head[1], 3, 3, 1, 1, None, None, use_batchnorm=False,
-            dtype=self.dtype, name="decoded_img128",
+            dtype=self.dtype, accum_f32=self.accum_f32,
+            name="decoded_img128",
         )(h, train=train)
         return decoded, fc2

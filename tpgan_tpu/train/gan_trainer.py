@@ -149,10 +149,11 @@ def make_gan_train_step(
     via ``jax.jit(step, donate_argnums=0)``."""
     loss_cfg = cfg.loss
     zdim = cfg.G.zdim
-    # The D-step's generator forward sits under stop_gradient — no grads
-    # flow through it, so it can use the ~30%-faster f32-emitting convs;
-    # the G-step forward is differentiated and keeps the grad-safe mode.
-    gen_fast = gen.clone(accum_f32=True)
+    # Measured (v5e, b=128, same session): using the f32-emitting conv
+    # variant for the stop-gradient D-step G forward LOWERS whole-step
+    # throughput (184 vs 206 imgs/s) — the mixed conv flavours defeat
+    # XLA's sharing/fusion between the two generator forwards. The fused
+    # step therefore keeps one uniform grad-safe generator.
 
     def _g_forward_with(module, g_params, g_stats, batch: Batch, z, drop_rng):
         """Generator forward in train mode. Returns (out, new batch
@@ -171,9 +172,6 @@ def make_gan_train_step(
     def g_forward(g_params, g_stats, batch: Batch, z, drop_rng):
         return _g_forward_with(gen, g_params, g_stats, batch, z, drop_rng)
 
-    def g_forward_nograd(g_params, g_stats, batch: Batch, z, drop_rng):
-        return _g_forward_with(gen_fast, g_params, g_stats, batch, z, drop_rng)
-
     if cfg.train.remat:
         # rematerialise the generator forward during backward: activations
         # are recomputed instead of held in HBM (jax.checkpoint), letting
@@ -189,7 +187,7 @@ def make_gan_train_step(
         real = batch["img_frontal"]
 
         # ---------------- critic update (WGAN-GP) ----------------
-        g_out_d, g_stats = g_forward_nograd(
+        g_out_d, g_stats = g_forward(
             state.g_params, state.g_batch_stats, batch, z, drop_rng
         )
         fake_for_d = jax.lax.stop_gradient(g_out_d.img128_fake)
