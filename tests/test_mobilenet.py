@@ -97,3 +97,35 @@ def test_decoder_on_model_output():
     loc, cls = jax.jit(mod.apply)(v, jnp.ones((1, 128, 128, 3)))
     out = jax.jit(decode_landmarks)(loc, cls)
     assert out.points.shape == (1, NUM_LANDMARK_CLASSES, 1, 2)
+
+
+def test_find_best_coordinates():
+    """The working replacement of the reference's dead-code helper
+    (MobileNetV2.py:290-340): per-part top-1 decode regardless of the
+    0.5 confidence threshold."""
+    from tpgan_tpu.models.mobilenet_v2 import find_best_coordinates
+
+    rng = np.random.RandomState(0)
+    loc = jnp.asarray(rng.rand(1, 20, 2).astype(np.float32) * 100)
+    cls = jnp.asarray(rng.randn(1, 20, 5).astype(np.float32) * 0.1)  # diffuse scores
+    out = find_best_coordinates(loc, cls)
+    # every part gets a prediction even when no score clears 0.5
+    assert bool(out.valid[:, :4].all())
+    scores = np.asarray(jax.nn.softmax(cls[0], axis=-1))
+    for ci in range(4):
+        np.testing.assert_allclose(
+            np.asarray(out.points[0, ci, 0]), np.asarray(loc[0])[scores[:, ci].argmax()],
+            rtol=1e-5,
+        )
+
+
+def test_sequential_block():
+    from tpgan_tpu.ops.blocks import ConvBlock, Sequential
+
+    seq = Sequential((
+        ConvBlock(3, 8, 3, 1, 1),
+        ConvBlock(8, 4, 3, 1, 1),
+    ))
+    v = seq.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    y = seq.apply(v, jnp.ones((2, 8, 8, 3)))
+    assert y.shape == (2, 8, 8, 4)
