@@ -252,3 +252,19 @@ def test_packed_dataset_roundtrip(tmp_path):
     batches = list(batch_iterator(ds, 2, shuffle=False, epochs=1))
     assert len(batches) == 2
     assert batches[0]["img"].shape == (2, 128, 128, 3)
+
+
+def test_prefetch_to_device_sharded():
+    """prefetch_to_device with an explicit sharding lands batches
+    pre-sharded across the mesh."""
+    from tpgan_tpu.config import MeshConfig
+    from tpgan_tpu.parallel.mesh import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    sharding = NamedSharding(mesh, P("data"))
+    batches = [{"x": np.ones((16, 4), np.float32) * i} for i in range(3)]
+    staged = list(prefetch_to_device(iter(batches), size=2, sharding=sharding))
+    assert len(staged) == 3
+    assert staged[0]["x"].sharding == sharding
+    np.testing.assert_allclose(np.asarray(staged[2]["x"]), 2.0)
