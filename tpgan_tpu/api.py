@@ -9,12 +9,11 @@ TestDataset + Generator workflow, as one or two XLA dispatches.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 
-from tpgan_tpu.data.jit_preprocess import preprocess_for_synthesis
 from tpgan_tpu.data.patches import crop_patches_batch
 from tpgan_tpu.losses.decoder import decode_landmarks
 from tpgan_tpu.models.mobilenet_v2 import MobileNetV2

@@ -8,7 +8,7 @@ monitoring, and periodic Orbax checkpoints with resume.
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Optional
+from typing import Iterable, Optional
 
 import jax
 
@@ -120,8 +120,6 @@ def run_gan_training(
                     break
             if len(stack) < k:
                 break  # not enough batches for a full dispatch
-            import numpy as _np
-
             batch = jax.tree.map(lambda *xs: jnp.stack(xs), *stack)
         rng, srng = jax.random.split(rng)
         state, metrics = step_fn(state, batch, srng)
