@@ -133,3 +133,21 @@ def test_gan_train_step_with_batchnorm():
     assert not np.allclose(g_mean_after, g_mean_before)
     d_leaves = jax.tree.leaves(state2.d_batch_stats)
     assert any(not np.allclose(np.asarray(x), 0.0) for x in d_leaves)
+
+
+def test_synthesize_with_batchnorm_generator():
+    from tpgan_tpu.train.gan_trainer import make_synthesize_fn
+
+    cfg = make_config({
+        "G": {"fm_multiplier": 0.25, "local_feature_layer_dim": 16,
+              "use_batchnorm": True},
+        "D": {"fm_multiplier": 0.25, "use_batchnorm": True},
+        "compute_dtype": "float32",
+    })
+    state, gen, *_ = create_gan_state(cfg, jax.random.PRNGKey(0))
+    synthesize = jax.jit(make_synthesize_fn(cfg, gen))
+    batch = _rand_batch(np.random.RandomState(0), b=1)
+    z = jnp.zeros((1, 64))
+    out = synthesize(state.g_params, batch, z, state.g_batch_stats)
+    assert out.shape == (1, 128, 128, 3)
+    assert np.isfinite(np.asarray(out)).all()

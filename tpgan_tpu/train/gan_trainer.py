@@ -310,9 +310,14 @@ def make_synthesize_fn(cfg: Config, gen: Generator):
     kernels — no grads on this path)."""
     gen = gen.clone(accum_f32=True)
 
-    def synthesize(g_params, batch: Batch, z: jnp.ndarray) -> jnp.ndarray:
+    def synthesize(
+        g_params, batch: Batch, z: jnp.ndarray, batch_stats=None
+    ) -> jnp.ndarray:
+        variables = {"params": g_params}
+        if batch_stats:  # BN generators: eval-mode running statistics
+            variables["batch_stats"] = batch_stats
         out = gen.apply(
-            {"params": g_params},
+            variables,
             batch["img"], batch["left_eye"], batch["right_eye"],
             batch["nose"], batch["mouth"], z,
             use_dropout=False,
