@@ -54,3 +54,41 @@ def test_cli_eval(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["num_images"] == 2
     assert np.isfinite(out["psnr"]) and -1.0 <= out["ssim"] <= 1.0
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TPGAN_SLOW_TESTS"),
+    reason="compiles the full sharded GAN step from scratch (~20+ min on "
+    "this 1-core host); run_gan_training is covered directly in "
+    "test_gan_loop.py. Set TPGAN_SLOW_TESTS=1 to run.",
+)
+def test_cli_train_smoke(tmp_path):
+    """cmd_train end to end: file list -> TrainDataset -> prefetch ->
+    sharded WGAN-GP steps -> checkpoint."""
+    from tpgan_tpu import cli
+    from tpgan_tpu.train.checkpoint import latest_step
+
+    paths = _make_multipie(tmp_path, n_subjects=4)
+    lst = tmp_path / "img.list"
+    lst.write_text("\n".join(paths) + "\n")
+
+    rc = cli.main([
+        "train",
+        "--steps", "2",
+        "--checkpoint", str(tmp_path / "ck"),
+        "--log-dir", str(tmp_path / "logs"),
+        "--set", f"train.img_list={lst}",
+        "--set", "train.batch_size=8",
+        "--set", "train.checkpoint_every_steps=0",
+        "--set", "G.fm_multiplier=0.25",
+        "--set", "G.local_feature_layer_dim=16",
+        "--set", "D.fm_multiplier=0.25",
+        "--set", "compute_dtype=float32",
+        "--set", "mesh.data=8",
+    ])
+    assert rc == 0
+    assert latest_step(str(tmp_path / "ck")) == 2
