@@ -268,3 +268,35 @@ def test_prefetch_to_device_sharded():
     assert len(staged) == 3
     assert staged[0]["x"].sharding == sharding
     np.testing.assert_allclose(np.asarray(staged[2]["x"]), 2.0)
+
+
+def test_prepare_dataset_roundtrip(tmp_path):
+    """prepare_dataset builds the exact layout TrainDataset consumes."""
+    from PIL import Image
+
+    from tpgan_tpu.data.prepare import prepare_dataset
+
+    rng = np.random.RandomState(0)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    paths, lms = [], []
+    for subject, cam in [(1, "140"), (1, "051"), (2, "080"), (2, "051")]:
+        p = raw / f"{subject:03d}_01_01_{cam}_00.png"
+        Image.fromarray((rng.rand(200, 180, 3) * 255).astype(np.uint8)).save(p)
+        paths.append(str(p))
+        lm = rng.rand(68, 2) * np.asarray([170, 190]) + 5
+        lms.append(" ".join(str(float(v)) for v in lm.reshape(-1)))
+
+    out = tmp_path / "prepared"
+    train_list = prepare_dataset(paths, lms, str(out))
+    # only the two non-frontal views are training entries
+    assert len(train_list) == 2
+    assert (out / "img.list").exists()
+
+    # the produced layout feeds TrainDataset directly
+    ds = TrainDataset(train_list)
+    item = ds[0]
+    assert item["img"].shape == (128, 128, 3)
+    assert item["img_frontal"].shape == (128, 128, 3)
+    assert item["mouth"].shape == (32, 48, 3)
+    assert int(item["label"]) in (1, 2)

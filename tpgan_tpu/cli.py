@@ -203,6 +203,23 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_prepare_data(args) -> int:
+    """Build the Multi-PIE training layout (128 images + 32/64 pyramids +
+    landmark patches + img.list) from raw images and 68-pt landmarks —
+    the preprocessing step the reference assumes but never provides."""
+    from tpgan_tpu.data.prepare import prepare_dataset
+
+    with open(args.images) as f:
+        image_paths = [l.strip() for l in f if l.strip()]
+    with open(args.landmarks) as f:
+        lm_strings = [l.strip() for l in f if l.strip()]
+    train_list = prepare_dataset(image_paths, lm_strings, args.out)
+    print(f"prepared {len(image_paths)} images; "
+          f"{len(train_list)} training (non-frontal) entries -> "
+          f"{args.out}/img.list")
+    return 0
+
+
 def cmd_synthesize(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -262,6 +279,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
 
+    p = sub.add_parser("prepare-data",
+                       help="build the Multi-PIE training layout")
+    common(p)
+    p.add_argument("--images", required=True,
+                   help="file listing raw image paths (one per line)")
+    p.add_argument("--landmarks", required=True,
+                   help="file with one 68-pt landmark line per image")
+    p.add_argument("--out", required=True, help="output root directory")
+
     p = sub.add_parser("synthesize", help="profile -> frontal synthesis")
     common(p)
     p.add_argument("--image", required=True)
@@ -272,7 +298,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     args = parser.parse_args(argv)
     return {"pretrain": cmd_pretrain, "train": cmd_train,
-            "eval": cmd_eval, "synthesize": cmd_synthesize}[args.command](args)
+            "eval": cmd_eval, "prepare-data": cmd_prepare_data,
+            "synthesize": cmd_synthesize}[args.command](args)
 
 
 if __name__ == "__main__":
