@@ -2,6 +2,8 @@
 checkpoint, restore, and synthesis — the whole user-facing API surface in
 ~60 lines. Run: ``python examples/train_and_synthesize.py``."""
 
+import tempfile
+
 import numpy as np
 
 import jax
@@ -42,9 +44,9 @@ def main():
         print(f"step {i}: g_loss={float(metrics['g_loss']):.3f} "
               f"d_loss={float(metrics['d_loss']):.3f}")
 
-    save_checkpoint("/tmp/tpgan_example_ckpt", int(state.step),
-                    jax.device_get(state))
-    state = restore_checkpoint("/tmp/tpgan_example_ckpt", state)
+    ckpt_dir = tempfile.mkdtemp(prefix="tpgan_example_ckpt_")
+    save_checkpoint(ckpt_dir, int(state.step), jax.device_get(state))
+    state = restore_checkpoint(ckpt_dir, state)
     print("checkpoint round-trip OK at step", int(state.step))
 
     synthesize = jax.jit(make_synthesize_fn(cfg, gen))
