@@ -80,28 +80,18 @@ def latest_step(directory: str) -> Optional[int]:
     return step
 
 
-def restore_checkpoint(
-    directory: str,
-    state_like: Any,
-    step: Optional[int] = None,
-    partial_restore: bool = False,
-):
+def restore_checkpoint(directory: str, state_like: Any, step: Optional[int] = None):
     """Restore into the structure of ``state_like``; returns the restored
-    pytree. ``step=None`` restores the latest. ``partial_restore=True``
-    tolerates checkpoints whose tree is a superset of the template (e.g.
-    resuming checkpoints written by an older state layout)."""
+    pytree. ``step=None`` restores the latest. The checkpoint's tree must
+    match the template — resuming across incompatible state layouts is an
+    error by design."""
     import orbax.checkpoint as ocp
 
     mgr = _manager(directory)
     step = step if step is not None else mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint found under {directory}")
-    out = mgr.restore(
-        step,
-        args=ocp.args.StandardRestore(
-            state_like, partial_restore=partial_restore
-        ),
-    )
+    out = mgr.restore(step, args=ocp.args.StandardRestore(state_like))
     mgr.close()
     return out
 
