@@ -45,11 +45,31 @@ def test_run_gan_training_with_checkpoint_and_resume(tmp_path):
     rec = json.loads(lines[-1])
     assert "g_loss" in rec and "imgs_per_sec" in rec
 
-    # resume continues from the saved step
+    # resume into the SAME directory: ``steps`` is a global budget, the
+    # loop counter continues from the restored step, and the periodic
+    # save that fires when crossing a checkpoint_every_steps boundary
+    # (here step 4, every=2) is keyed by the global step — it must not
+    # collide with the steps already in the directory (VERDICT r1 item 4).
     state2 = run_gan_training(
-        CFG, _batches(2), steps=2, checkpoint_dir=ckpt, resume=True,
+        CFG, _batches(3), steps=6, checkpoint_dir=ckpt, resume=True,
     )
-    assert int(state2.step) == 5
+    assert int(state2.step) == 6
+    assert latest_step(ckpt) == 6
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(ckpt)
+    all_steps = sorted(mgr.all_steps())
+    mgr.close()
+    assert 4 in all_steps, f"mid-resume periodic save missing: {all_steps}"
+    assert 6 in all_steps
+
+    # a resume whose budget is already exhausted is a no-op (no step, no
+    # duplicate save at the existing latest step)
+    state3 = run_gan_training(
+        CFG, _batches(1), steps=6, checkpoint_dir=ckpt, resume=True,
+    )
+    assert int(state3.step) == 6
+    assert latest_step(ckpt) == 6
 
 
 def test_run_gan_training_profiler(tmp_path):
