@@ -22,9 +22,10 @@ extern "C" {
 // uint8 HWC -> float32 in [-1, 1] (the reference's ToTensor * 2 - 1,
 // DataAndDataset.py:218-220), n = H*W*C elements.
 void u8_to_pm1(const uint8_t* src, float* dst, int64_t n) {
-    constexpr float k = 2.0f / 255.0f;
+    // (2v - 255) / 255: integer-exact numerator, so 0 -> -1.0 and
+    // 255 -> 1.0 exactly (v * (2/255) - 1 overshoots to 1.0000001)
     for (int64_t i = 0; i < n; ++i) {
-        dst[i] = static_cast<float>(src[i]) * k - 1.0f;
+        dst[i] = (2.0f * static_cast<float>(src[i]) - 255.0f) / 255.0f;
     }
 }
 

@@ -19,9 +19,16 @@ def test_u8_to_pm1_parity(lib):
     rng = np.random.RandomState(0)
     src = rng.randint(0, 256, (37, 23, 3), np.uint8)
     got = native.u8_to_pm1(src)
-    want = src.astype(np.float32) * (2.0 / 255.0) - 1.0
+    want = (2.0 * src.astype(np.float32) - 255.0) / 255.0
     np.testing.assert_allclose(got, want, rtol=1e-6)
     assert got.dtype == np.float32
+
+
+def test_u8_to_pm1_endpoint_exact(lib):
+    """0 -> -1.0 and 255 -> 1.0 EXACTLY (the naive v*(2/255)-1 formula
+    overshoots the top end to 1.0000001, breaking the [-1, 1] contract)."""
+    got = native.u8_to_pm1(np.array([0, 255], np.uint8))
+    assert got[0] == -1.0 and got[1] == 1.0
 
 
 def test_u8_to_unit_parity(lib):

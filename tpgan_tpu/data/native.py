@@ -92,7 +92,9 @@ def u8_to_pm1(src: np.ndarray) -> np.ndarray:
     lib = load()
     out = np.empty(src.shape, np.float32)
     if lib is None:
-        return src.astype(np.float32) * (2.0 / 255.0) - 1.0
+        # (2v - 255) / 255 is endpoint-exact (0 -> -1.0, 255 -> 1.0);
+        # v * (2/255) - 1 overshoots the top end to 1.0000001
+        return (2.0 * src.astype(np.float32) - 255.0) / 255.0
     lib.u8_to_pm1(_u8ptr(src), _fptr(out), src.size)
     return out
 
