@@ -117,3 +117,34 @@ def test_cli_pretrain_end_to_end(tmp_path):
     from tpgan_tpu.train.checkpoint import latest_step
 
     assert latest_step(str(tmp_path / "ck")) is not None
+
+
+def test_cli_synth_data_gan_packed(tmp_path):
+    """synth-data CLI: GAN protocol layout + packed shards round-trip."""
+    import io
+    from contextlib import redirect_stdout
+
+    from tpgan_tpu import cli
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main([
+            "synth-data", "--out", str(tmp_path), "--protocol", "gan",
+            "--subjects", "2", "--render-size", "144", "--pack",
+        ])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["gan_train_items"] == 2 * 8  # 9 cameras, 1 frontal
+
+    from tpgan_tpu.data.multipie import TrainDataset
+    from tpgan_tpu.data.packing import PackedDataset
+
+    packed = PackedDataset(out["gan_packed"])
+    with open(out["gan_img_list"]) as f:
+        files = TrainDataset([l.strip() for l in f if l.strip()])
+    assert len(packed) == len(files) == 16
+    a, b = packed[3], files[3]
+    assert set(a) == set(b)
+    # uint8 quantisation in the shards: within 1/127.5 of the file path
+    np.testing.assert_allclose(a["img"], b["img"], atol=1.0 / 127.0)
+    assert int(a["label"]) == int(b["label"])

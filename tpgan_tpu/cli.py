@@ -81,9 +81,16 @@ def cmd_train(args) -> int:
     from tpgan_tpu.train.metrics import MetricWriter
 
     cfg = _build_config(args)
-    with open(cfg.train.img_list) as f:
-        img_list = [line.strip() for line in f if line.strip()]
-    ds = TrainDataset(img_list)
+    if args.packed:
+        # packed memmap shards: no per-item PIL decodes on the hot path
+        # (data/packing.py) — the production input format
+        from tpgan_tpu.data.packing import PackedDataset
+
+        ds = PackedDataset(args.packed)
+    else:
+        with open(cfg.train.img_list) as f:
+            img_list = [line.strip() for line in f if line.strip()]
+        ds = TrainDataset(img_list)
 
     identity_embed = None
     if args.identity_checkpoint:
@@ -110,6 +117,14 @@ def cmd_train(args) -> int:
         batch_iterator(ds, cfg.train.batch_size, shuffle=True, epochs=None),
         size=2,
     )
+    sample_fn = None
+    if args.sample_dir:
+        from tpgan_tpu.train.gan_trainer import create_gan_state
+        from tpgan_tpu.train.sampling import make_sample_fn
+
+        _, gen, *_ = create_gan_state(cfg, jax.random.PRNGKey(0))
+        sample_fn = make_sample_fn(cfg, gen, ds, args.sample_dir)
+
     writer = MetricWriter(args.log_dir or "./logs/gan")
     run_gan_training(
         cfg,
@@ -119,6 +134,74 @@ def cmd_train(args) -> int:
         checkpoint_dir=args.checkpoint or cfg.train.checkpoint_dir,
         resume=args.resume,
         writer=writer,
+        steps_per_dispatch=args.steps_per_dispatch,
+        sample_fn=sample_fn,
+        sample_every=args.sample_every,
+    )
+    writer.close()
+    return 0
+
+
+def cmd_synth_data(args) -> int:
+    """Generate the procedural synthetic-face corpora (learnable stand-ins
+    for Multi-PIE / CelebA): the GAN protocol builds the full Multi-PIE
+    training layout (+ optional packed shards), the pretrain protocol the
+    CelebA landmark layout."""
+    import json
+
+    out = {}
+    if args.protocol in ("gan", "both"):
+        from tpgan_tpu.data.synthetic_faces import generate_gan_protocol
+
+        gan_root = os.path.join(args.out, "gan")
+        train_list = generate_gan_protocol(
+            gan_root, args.subjects, render_size=args.render_size
+        )
+        out["gan_img_list"] = os.path.join(gan_root, "img.list")
+        out["gan_train_items"] = len(train_list)
+        if args.pack:
+            from tpgan_tpu.data.multipie import TrainDataset
+            from tpgan_tpu.data.packing import pack_dataset
+
+            packed_dir = os.path.join(gan_root, "packed")
+            pack_dataset(TrainDataset(train_list), packed_dir)
+            out["gan_packed"] = packed_dir
+    if args.protocol in ("pretrain", "both"):
+        from tpgan_tpu.data.synthetic_faces import generate_pretrain_protocol
+
+        pre_root = os.path.join(args.out, "pretrain")
+        txt = generate_pretrain_protocol(
+            pre_root, args.pretrain_images, num_subjects=args.subjects
+        )
+        out["pretrain_root"] = pre_root
+        out["pretrain_txt"] = txt
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_train_embedder(args) -> int:
+    """Train the identity embedder (FeatureExtractModel) the reference
+    assumes exists (config.py:84-85) — softmax-CE over subject ids on a
+    Multi-PIE-named image tree."""
+    from tpgan_tpu.data.multipie import IdentityImageDataset
+    from tpgan_tpu.data.pipeline import batch_iterator
+    from tpgan_tpu.train.feature_extract import run_feature_extract_training
+    from tpgan_tpu.train.metrics import MetricWriter
+
+    cfg = _build_config(args)
+    with open(args.img_list) as f:
+        img_list = [line.strip() for line in f if line.strip()]
+    ds = IdentityImageDataset(img_list)
+    batches = batch_iterator(
+        ds, args.batch_size, shuffle=True, epochs=None
+    )
+    writer = MetricWriter(args.log_dir or "./logs/embedder")
+    run_feature_extract_training(
+        cfg,
+        batches,
+        steps=args.steps,
+        writer=writer,
+        checkpoint_dir=args.checkpoint or "./ckpt/embedder",
     )
     writer.close()
     return 0
@@ -268,9 +351,37 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--identity-checkpoint", default=None)
     p.add_argument("--log-dir", default=None)
+    p.add_argument("--packed", default=None,
+                   help="read training data from a packed-shard directory "
+                        "(data/packing.py) instead of cfg.train.img_list")
+    p.add_argument("--sample-dir", default=None,
+                   help="write periodic [profile/fake/frontal] sample "
+                        "grids here")
+    p.add_argument("--sample-every", type=int, default=500)
+    p.add_argument("--steps-per-dispatch", type=int, default=1)
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (traps NaNs at the op that "
                         "produced them; slow, debugging only)")
+
+    p = sub.add_parser("synth-data",
+                       help="generate the procedural synthetic-face corpora")
+    common(p)
+    p.add_argument("--out", required=True)
+    p.add_argument("--protocol", choices=["gan", "pretrain", "both"],
+                   default="both")
+    p.add_argument("--subjects", type=int, default=347)
+    p.add_argument("--render-size", type=int, default=144)
+    p.add_argument("--pretrain-images", type=int, default=4000)
+    p.add_argument("--pack", action="store_true",
+                   help="also pack the GAN protocol into memmap shards")
+
+    p = sub.add_parser("train-embedder",
+                       help="train the identity embedder (FeatureExtract)")
+    common(p)
+    p.add_argument("--img-list", required=True)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--log-dir", default=None)
 
     p = sub.add_parser("eval", help="PSNR/SSIM/Rank-1 evaluation")
     common(p)
@@ -299,7 +410,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = parser.parse_args(argv)
     return {"pretrain": cmd_pretrain, "train": cmd_train,
             "eval": cmd_eval, "prepare-data": cmd_prepare_data,
-            "synthesize": cmd_synthesize}[args.command](args)
+            "synthesize": cmd_synthesize, "synth-data": cmd_synth_data,
+            "train-embedder": cmd_train_embedder}[args.command](args)
 
 
 if __name__ == "__main__":

@@ -90,6 +90,32 @@ class TrainDataset:
         return batch
 
 
+class IdentityImageDataset:
+    """Identity-classification data for the feature-extract embedder
+    (the capability the reference assumes via
+    ``feature_extract_model['resume']``, config.py:84-85, but ships no
+    training data path for): items are (image in [-1, 1], subject label)
+    tuples over any Multi-PIE-named image tree — the label protocol is
+    the TrainDataset one, ``int(filename.split('_')[0])``
+    (DataAndDataset.py:226)."""
+
+    def __init__(self, img_list: List[str]):
+        self.img_list = list(img_list)
+
+    def __len__(self) -> int:
+        return len(self.img_list)
+
+    def __getitem__(self, idx: int):
+        from tpgan_tpu.data import native
+
+        path = self.img_list[idx]
+        img = native.u8_to_pm1(_load_image_u8(path))
+        label = np.asarray(
+            int(os.path.basename(path).split("_")[0]), np.int32
+        )
+        return img, label
+
+
 class TestDataset:
     """Inference-time preprocessing (DataAndDataset.py:230-256): raw image
     + a 68-point landmark string -> 128x128 image, 64/32 downsamples, and
