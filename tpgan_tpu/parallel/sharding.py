@@ -39,24 +39,52 @@ def infer_param_shardings(
     model_axis: str = "model",
     min_shard_dim: int = 256,
 ) -> Any:
-    """Per-leaf sharding: channel-shard wide kernels over the model axis,
+    """Per-leaf sharding over the tensor-parallel ``model`` axis;
     replicate everything else. Works unchanged for optimizer-state trees
-    because the rule is shape-driven."""
+    because the rule is shape-driven.
+
+    Two placements, covering conv (HWIO), deconv (kh, kw, in, out) and
+    dense (in, out) kernels alike:
+
+    * **column-parallel** — wide, divisible output dim shards on the last
+      axis; GSPMD propagates the channel sharding through the elementwise
+      epilogue into the next op;
+    * **row-parallel** — when the output dim is too narrow but the
+      *contraction* dim (axis -2: input channels / input features) is
+      wide and divisible, shard that instead; each device holds a slice
+      of the contraction and GSPMD inserts the all-reduce after the
+      matmul. This is what catches the GlobalPathway's 32768 -> 512
+      ``fc1`` (D_and_G_model.py:212) and the narrow-output decoder
+      deconvs whose input side is wide.
+    """
     model_size = mesh.shape[model_axis] if model_axis in mesh.shape else 1
 
     def rule(x):
         shape = getattr(x, "shape", ())
-        if (
-            model_size > 1
-            and len(shape) >= 2
-            and shape[-1] >= min_shard_dim
-            and shape[-1] % model_size == 0
-        ):
-            spec = [None] * (len(shape) - 1) + [model_axis]
-            return NamedSharding(mesh, P(*spec))
+        if model_size > 1 and len(shape) >= 2:
+            if shape[-1] >= min_shard_dim and shape[-1] % model_size == 0:
+                spec = [None] * (len(shape) - 1) + [model_axis]
+                return NamedSharding(mesh, P(*spec))
+            if shape[-2] >= min_shard_dim and shape[-2] % model_size == 0:
+                spec = [None] * (len(shape) - 2) + [model_axis, None]
+                return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
     return jax.tree.map(rule, params)
+
+
+def per_device_bytes(tree: Any) -> int:
+    """Bytes of ``tree`` resident on ONE device (the TP memory win:
+    sharded leaves count 1/model_size of their global size). ``tree``
+    must hold committed jax.Arrays."""
+    total = 0
+    for leaf in jax.tree.leaves(tree):
+        shards = getattr(leaf, "addressable_shards", None)
+        if shards:
+            total += shards[0].data.nbytes
+        else:
+            total += getattr(leaf, "nbytes", 0)
+    return total
 
 
 def shard_gan_state(mesh: Mesh, state: Any, min_shard_dim: int = 256) -> Any:
