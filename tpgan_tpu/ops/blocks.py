@@ -113,19 +113,39 @@ class Conv2d(nn.Module):
         x = x.astype(self.dtype)
         if reflect is not None:
             x = reflect_pad(x, reflect)
-        y = lax.conv_general_dilated(
-            x,
-            kernel.astype(self.dtype),
-            window_strides=(sh, sw),
-            padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups,
-            **(
-                dict(preferred_element_type=jnp.float32)
-                if self.accum_f32
-                else {}
-            ),
-        )
+
+        # trace-time post-training-quantization hooks (ops/quant.py):
+        # 'calib' records the input absmax; 'int8' runs the conv as
+        # int8 x int8 -> int32 on the MXU with calibrated scales
+        from tpgan_tpu.ops import quant as quant_lib
+
+        qmode = quant_lib.current_mode()
+        if qmode == quant_lib.CALIB:
+            quant_lib.observe(self, x)
+        if qmode == quant_lib.INT8:
+            y = quant_lib.int8_conv(
+                x,
+                kernel,
+                quant_lib.stored_absmax(self),
+                window_strides=(sh, sw),
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+            )
+        else:
+            y = lax.conv_general_dilated(
+                x,
+                kernel.astype(self.dtype),
+                window_strides=(sh, sw),
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+                **(
+                    dict(preferred_element_type=jnp.float32)
+                    if self.accum_f32
+                    else {}
+                ),
+            )
         if self.use_bias:
             binit = self.bias_init or init_lib.uniform_bias(
                 kh * kw * self.in_channels // self.groups
@@ -178,19 +198,41 @@ class ConvTranspose2d(nn.Module):
             "kernel", kinit, (kh, kw, self.in_channels, self.out_channels)
         )
         x = x.astype(self.dtype)
-        y = lax.conv_general_dilated(
-            x,
-            jnp.flip(kernel, axis=(0, 1)).astype(self.dtype),
-            window_strides=(1, 1),
-            padding=((kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw)),
-            lhs_dilation=(sh, sw),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            **(
-                dict(preferred_element_type=jnp.float32)
-                if self.accum_f32
-                else {}
-            ),
+
+        from tpgan_tpu.ops import quant as quant_lib
+
+        qmode = quant_lib.current_mode()
+        deconv_pad = (
+            (kh - 1 - ph, kh - 1 - ph + oph),
+            (kw - 1 - pw, kw - 1 - pw + opw),
         )
+        if qmode == quant_lib.CALIB:
+            quant_lib.observe(self, x)
+        if qmode == quant_lib.INT8:
+            # input dilation just interleaves zeros — exact under int8
+            y = quant_lib.int8_conv(
+                x,
+                jnp.flip(kernel, axis=(0, 1)),
+                quant_lib.stored_absmax(self),
+                window_strides=(1, 1),
+                padding=deconv_pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                lhs_dilation=(sh, sw),
+            )
+        else:
+            y = lax.conv_general_dilated(
+                x,
+                jnp.flip(kernel, axis=(0, 1)).astype(self.dtype),
+                window_strides=(1, 1),
+                padding=deconv_pad,
+                lhs_dilation=(sh, sw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                **(
+                    dict(preferred_element_type=jnp.float32)
+                    if self.accum_f32
+                    else {}
+                ),
+            )
         if self.use_bias:
             # torch ConvTranspose2d bias bound uses fan_in = out*kh*kw
             binit = self.bias_init or init_lib.uniform_bias(kh * kw * self.out_channels)
