@@ -86,3 +86,39 @@ def test_feature_extract_training_step():
     assert 0.0 <= float(metrics["accuracy"]) <= 1.0
     after = np.asarray(jax.tree.leaves(state.params)[0])
     assert not np.allclose(after, before)
+
+
+def test_embedder_checkpoint_restores_into_consumer_template(tmp_path):
+    """run_feature_extract_training saves {params, batch_stats} — exactly
+    the template cli train --identity-checkpoint / cli eval restore into
+    (a full train-state checkpoint would fail the strict restore)."""
+    from tpgan_tpu.models.feature_extract import (
+        FeatureExtractModel,
+        make_identity_embed_fn,
+    )
+    from tpgan_tpu.train.checkpoint import restore_checkpoint
+    from tpgan_tpu.train.feature_extract import run_feature_extract_training
+
+    cfg = make_config({"feature_extract_model": {"num_of_output_classes": 5}})
+    rng = np.random.RandomState(0)
+
+    def batches():
+        while True:
+            yield (rng.rand(4, 64, 64, 3).astype(np.float32) * 2 - 1,
+                   rng.randint(0, 5, (4,)).astype(np.int32))
+
+    ck = str(tmp_path / "ck")
+    run_feature_extract_training(
+        cfg, batches(), steps=1, checkpoint_dir=ck, image_size=64
+    )
+
+    # the consumer-side restore path (cli.py cmd_train)
+    fx = FeatureExtractModel(
+        base_model_name=cfg.feature_extract_model.base_model_name,
+        num_of_output_classes=cfg.feature_extract_model.num_of_output_classes,
+    )
+    fx_vars = jax.jit(fx.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    fx_vars = restore_checkpoint(ck, fx_vars)
+    embed = jax.jit(make_identity_embed_fn(fx, fx_vars))
+    feats = embed(jnp.zeros((2, 64, 64, 3)))
+    assert np.isfinite(np.asarray(feats)).all()

@@ -119,5 +119,17 @@ def run_feature_extract_training(
         if writer is not None and (i + 1) % 10 == 0:
             writer.write(i + 1, metrics)
     if checkpoint_dir:
-        save_checkpoint(checkpoint_dir, int(state.step), jax.device_get(state))
+        # save the MODEL VARIABLES dict ({params, batch_stats}) rather
+        # than the full train state: this is the exact template the
+        # consumers restore into (cli train --identity-checkpoint and
+        # cli eval build it via ``fx.init``), mirroring the reference's
+        # split of model vs optimizer checkpoints
+        # (UtilityMethods.py:58-103)
+        save_checkpoint(
+            checkpoint_dir,
+            int(state.step),
+            jax.device_get(
+                {"params": state.params, "batch_stats": state.batch_stats}
+            ),
+        )
     return state
