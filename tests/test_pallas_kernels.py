@@ -67,3 +67,20 @@ def test_symmetry_tv_losses_wrapper_cpu_path():
     sym, tv = symmetry_tv_losses(x)
     np.testing.assert_allclose(float(sym), float(symmetry_loss(x)), rtol=1e-5)
     np.testing.assert_allclose(float(tv), float(total_variation(x)), rtol=1e-5)
+
+
+def test_conv3x3_epilogue_kernel_matches_xla():
+    """The conv+bias+LeakyReLU Pallas prototype (interpret mode) vs the
+    XLA formulation it races on the chip."""
+    from tpgan_tpu.ops.pallas_kernels import (
+        conv3x3_bias_lrelu_pallas,
+        conv3x3_bias_lrelu_xla,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(16).astype(np.float32))
+    want = conv3x3_bias_lrelu_xla(x, w, b, 0.2)
+    got = conv3x3_bias_lrelu_pallas(x, w, b, 0.2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)

@@ -219,6 +219,87 @@ def symmetry_tv_losses(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return _sym_tv_pair_jnp(x)
 
 
+# --------------------------------------------------------------------------
+# conv3x3 + bias + LeakyReLU epilogue prototype (A/B vs XLA fusion)
+# --------------------------------------------------------------------------
+#
+# The north-star wording asked for "fused Pallas conv+BN+LeakyReLU"; round
+# 1 argued (for the scatter-max fuser) that XLA already fuses conv
+# epilogues and a hand conv can't beat its MXU pipeline. This kernel is
+# the MEASURED version of that argument for the conv path: a 3x3 stride-1
+# SAME conv with the bias+LeakyReLU epilogue fused in VMEM, expressed as
+# nine shifted (H*W, Cin) x (Cin, Cout) MXU matmuls per image. The A/B
+# against XLA's conv+epilogue on the chip is recorded in
+# docs/BENCHMARKS.md; the kernel is NOT wired into the models unless it
+# wins (it exists as evidence, not decoration).
+
+def _make_conv3x3_kernel(h: int, w: int, cin: int, cout: int,
+                         negative_slope: float):
+    def kernel(x_ref, w_ref, b_ref, out_ref):
+        """x_ref: (1, h+2, w+2, cin) padded input block (VMEM);
+        w_ref: (3, 3, cin, cout); b_ref: (1, cout);
+        out_ref: (1, h, w, cout). The (H, W, C) -> (H*W, C) reshapes keep
+        the lane (channel) dimension, the layout Mosaic relayouts
+        cheaply."""
+        acc = jnp.zeros((h * w, cout), jnp.float32)
+        for dh in range(3):
+            for dw in range(3):
+                win = x_ref[0, dh : dh + h, dw : dw + w, :]
+                acc += jax.lax.dot(
+                    win.reshape(h * w, cin),
+                    w_ref[dh, dw],
+                    preferred_element_type=jnp.float32,
+                )
+        y = acc + b_ref[0].astype(jnp.float32)
+        y = jnp.where(y >= 0, y, negative_slope * y)
+        out_ref[...] = y.reshape(1, h, w, cout).astype(out_ref.dtype)
+
+    return kernel
+
+
+def conv3x3_bias_lrelu_pallas(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    negative_slope: float = 0.01,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused 3x3/s1/SAME conv + bias + LeakyReLU, one image per grid
+    step. x: (B, H, W, Cin) NHWC; kernel: (3, 3, Cin, Cout) HWIO."""
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return pl.pallas_call(
+        _make_conv3x3_kernel(h, w, cin, cout, negative_slope),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h + 2, w + 2, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        interpret=interpret,
+    )(xp, kernel, bias.reshape(1, cout))
+
+
+def conv3x3_bias_lrelu_xla(x, kernel, bias, negative_slope: float = 0.01):
+    """The XLA formulation this kernel races against (conv + fused
+    epilogue, what ops.blocks.Conv2d emits)."""
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + bias.astype(jnp.float32)
+    return jnp.where(y >= 0, y, negative_slope * y).astype(x.dtype)
+
+
 def _sym_tv_fwd(x):
     return symmetry_tv_losses(x), x
 
