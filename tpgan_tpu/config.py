@@ -49,6 +49,12 @@ class PretrainConfig:
     num_epochs: int = 5
     log_step_of_batchs: int = 200
     image_size: int = 256  # fixed bucket (TPU static shapes)
+    # multi-bucket mode: ascending sizes, each image letterboxed into the
+    # smallest bucket that fits it WITHOUT downscaling — keeps the banded
+    # accuracy in the reference's source-pixel frame (Pretrain.py:31-32)
+    # up to the largest bucket (cap intent: general.image_max_size,
+    # config.py:40). None = single image_size bucket.
+    image_buckets: Optional[Tuple[int, ...]] = None
     loss: PretrainLossConfig = field(default_factory=PretrainLossConfig)
 
 

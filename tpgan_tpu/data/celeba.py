@@ -57,15 +57,19 @@ def find_images(root: str, suffix: str = ".jpg") -> List[str]:
 
 
 def letterbox(
-    image: np.ndarray, size: int
+    image: np.ndarray, size: int, allow_upscale: bool = True
 ) -> Tuple[np.ndarray, float, Tuple[int, int]]:
     """Aspect-preserving resize into a (size, size) zero-padded square.
     Returns (out, scale, (pad_left, pad_top)) so labels transform as
-    ``xy * scale + pad``."""
+    ``xy * scale + pad``. With ``allow_upscale=False`` images smaller
+    than the square are only padded (scale == 1) — native resolution,
+    like the reference feeding raw images at batch 1 (config.py:12)."""
     from PIL import Image
 
     h, w = image.shape[:2]
     scale = size / max(h, w)
+    if not allow_upscale:
+        scale = min(scale, 1.0)
     nw, nh = max(int(round(w * scale)), 1), max(int(round(h * scale)), 1)
     img = Image.fromarray((image * 255).astype(np.uint8) if image.dtype != np.uint8 else image)
     img = img.resize((nw, nh), Image.BILINEAR)
@@ -79,7 +83,17 @@ def letterbox(
 
 class CelebALandmarkDataset:
     """Indexable dataset: item = (image (S, S, 3) float32 in [0, 1],
-    label (8,) float32 in bucket coordinates)."""
+    label (8,) float32 in bucket coordinates).
+
+    ``buckets``: optional ascending sizes (e.g. (256, 512, 1024)). Each
+    image routes to the SMALLEST bucket >= max(h, w) — letterboxing is
+    then pure zero-padding (scale == 1), so the label coordinates and the
+    banded-accuracy thresholds keep the reference's *source-pixel*
+    semantics (Pretrain.py:31-32) for every image up to the largest
+    bucket (general.image_max_size, config.py:40); only larger images
+    downscale. Without ``buckets``, everything resizes into the single
+    ``image_size`` square (the round-1 behaviour: accuracy is then in the
+    letterboxed frame, a 4x stricter band on a 1024px source)."""
 
     def __init__(
         self,
@@ -87,14 +101,26 @@ class CelebALandmarkDataset:
         data_root_dir: str,
         image_size: int = 256,
         max_source_size: Optional[int] = None,
+        buckets: Optional[Tuple[int, ...]] = None,
     ):
         self.labels = parse_celeba_landmarks(os.path.join(data_root_dir, txt_name))
         self.image_paths = find_images(data_root_dir)
         self.image_size = image_size
         self.max_source_size = max_source_size
+        self.buckets = tuple(sorted(buckets)) if buckets else None
 
     def __len__(self) -> int:
         return len(self.image_paths)
+
+    def bucket_for(self, h: int, w: int) -> int:
+        """Smallest bucket that fits (h, w) without downscaling; the
+        largest bucket when nothing fits."""
+        assert self.buckets
+        side = max(h, w)
+        for b in self.buckets:
+            if side <= b:
+                return b
+        return self.buckets[-1]
 
     def __getitem__(self, idx: int) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         from PIL import Image
@@ -108,7 +134,13 @@ class CelebALandmarkDataset:
             arr.shape[0] > self.max_source_size or arr.shape[1] > self.max_source_size
         ):
             return None  # reference collate_fn drop (Pretrain.py:66-74)
-        boxed, scale, (pl, pt) = letterbox(arr, self.image_size)
+        size = (
+            self.bucket_for(*arr.shape[:2]) if self.buckets else self.image_size
+        )
+        # bucket mode: pad-only (native resolution -> source-pixel labels)
+        boxed, scale, (pl, pt) = letterbox(
+            arr, size, allow_upscale=not self.buckets
+        )
         label = self.labels[name].copy()
         label = label.reshape(4, 2) * scale + np.asarray([pl, pt], np.float32)
         return boxed, label.reshape(8)

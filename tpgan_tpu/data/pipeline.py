@@ -54,6 +54,57 @@ def batch_iterator(
             epoch += 1
 
 
+def bucketed_batch_iterator(
+    dataset,
+    batch_size: int,
+    *,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+    num_workers: int = 4,
+    indices: Optional[Sequence[int]] = None,
+    epochs: Optional[int] = None,
+) -> Iterator[Any]:
+    """Like :func:`batch_iterator` for datasets whose items come in a few
+    distinct shapes (multi-bucket pretraining, celeba.py ``buckets``):
+    items accumulate per shape and a batch is emitted whenever one bucket
+    fills, so every emitted batch is shape-homogeneous. With
+    ``drop_last=False`` partial buckets flush at the end of each epoch.
+    Each bucket shape compiles its own XLA program (static shapes)."""
+    import concurrent.futures
+
+    idxs = list(indices) if indices is not None else list(range(len(dataset)))
+    rng = np.random.RandomState(seed)
+    epoch = 0
+    pending: dict = {}
+    with concurrent.futures.ThreadPoolExecutor(num_workers) as pool:
+        while epochs is None or epoch < epochs:
+            order = idxs[:]
+            if shuffle:
+                rng.shuffle(order)
+            for start in range(0, len(order), batch_size):
+                chunk = order[start : start + batch_size]
+                for item in pool.map(dataset.__getitem__, chunk):
+                    if item is None:
+                        continue
+                    key = _item_shape_key(item)
+                    pending.setdefault(key, []).append(item)
+                    if len(pending[key]) == batch_size:
+                        yield _stack(pending.pop(key))
+            if not drop_last:
+                for key in list(pending):
+                    yield _stack(pending.pop(key))
+            epoch += 1
+
+
+def _item_shape_key(item: Any):
+    if isinstance(item, dict):
+        return tuple((k, np.shape(v)) for k, v in sorted(item.items()))
+    if isinstance(item, tuple):
+        return tuple(np.shape(v) for v in item)
+    return np.shape(item)
+
+
 def _stack(items: List[Any]) -> Any:
     first = items[0]
     if isinstance(first, dict):

@@ -59,7 +59,15 @@ def landmark_accuracy(
 ) -> jnp.ndarray:
     """Euclid-distance banded accuracy (reference: Pretrain.py:17-64):
     each of the 4 part predictions scores the band weight of its distance
-    to ground truth; invalid (undetected) parts score 0; mean over all."""
+    to ground truth; invalid (undetected) parts score 0; mean over all.
+
+    Frame semantics: distances are measured in the LABEL coordinate
+    frame. With multi-bucket letterboxing (pretrain.image_buckets) the
+    label frame IS the source-pixel frame for any image that fits its
+    bucket, matching the reference's source-pixel bands
+    (Pretrain.py:31-32); in single-bucket mode (round-1 behaviour) the
+    frame is the letterboxed square, i.e. a stricter band on sources
+    larger than the bucket."""
     pred = points[:, :4, 0, :]  # drop background class, top-1
     ok = valid[:, :4, 0]
     gt = labels.reshape(-1, 4, 2)
@@ -105,12 +113,16 @@ def create_pretrain_state(
 def make_pretrain_step(
     cfg: Config, model: MobileNetV2, tx: optax.GradientTransformation
 ):
-    size = cfg.pretrain.image_size
     loss_cfg = cfg.pretrain.loss
 
     def train_step(
         state: PretrainState, images: jnp.ndarray, labels: jnp.ndarray, rng: jax.Array
     ) -> Tuple[PretrainState, Dict[str, jnp.ndarray]]:
+        # image size comes from the batch's static shape, so the SAME
+        # step function serves every size bucket (multi-bucket
+        # pretraining: jax specialises one XLA program per bucket)
+        size_hw = images.shape[1:3]
+
         def loss_fn(params):
             (loc, cls), mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -120,7 +132,7 @@ def make_pretrain_step(
             )
             total, aux = multitask_landmark_loss(
                 loc, cls, labels, rng,
-                image_size=(size, size),
+                image_size=size_hw,
                 alpha=loss_cfg.alpha,
                 beta=loss_cfg.beta,
                 ratio_non_background=loss_cfg.ratio_non_background,
@@ -149,7 +161,6 @@ def make_pretrain_step(
 
 
 def make_eval_step(cfg: Config, model: MobileNetV2):
-    size = cfg.pretrain.image_size
     loss_cfg = cfg.pretrain.loss
     model = model.clone(accum_f32=True)  # no grads on the eval path
 
@@ -161,7 +172,7 @@ def make_eval_step(cfg: Config, model: MobileNetV2):
         )
         total, _ = multitask_landmark_loss(
             loc, cls, labels, rng,
-            image_size=(size, size),
+            image_size=images.shape[1:3],
             alpha=loss_cfg.alpha,
             beta=loss_cfg.beta,
             ratio_non_background=loss_cfg.ratio_non_background,
