@@ -400,3 +400,76 @@ def test_linear_block_with_bn():
     v["params"]["kernel"] = jnp.asarray(tlin.weight.detach().numpy().T)
     got, _ = mod.apply(v, jnp.asarray(x), train=True, mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(got), want, **TOL)
+
+
+def test_pad_in_multiple_semantics_preserving():
+    """Channel padding (VERDICT r1 item 3): the padded-conv output equals
+    the unpadded conv EXACTLY when the real kernel rows agree — the extra
+    rows only ever multiply zeros. The half-tile guard skips narrow
+    inputs."""
+    from tpgan_tpu.ops.blocks import Conv2d
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 8, 75).astype(np.float32))
+
+    ref = Conv2d(75, 32, 3, padding=1, accum_f32=False)
+    pad = Conv2d(75, 32, 3, padding=1, accum_f32=False, pad_in_multiple=128)
+    v_ref = ref.init(jax.random.PRNGKey(0), x)
+    v_pad = pad.init(jax.random.PRNGKey(1), x)
+    assert v_pad["params"]["kernel"].shape == (3, 3, 128, 32)
+
+    # surgery: copy the real rows + bias, leave the extra rows random
+    k = np.asarray(v_pad["params"]["kernel"]).copy()
+    k[:, :, :75, :] = np.asarray(v_ref["params"]["kernel"])
+    v_pad = {"params": {"kernel": jnp.asarray(k), "bias": v_ref["params"]["bias"]}}
+
+    want = ref.apply(v_ref, x)
+    got = pad.apply(v_pad, x)
+    # mathematically identical (zeros contribute +0); only the reduction
+    # ORDER differs between a 75- and a 128-wide contraction, so compare
+    # to float accumulation tolerance rather than bitwise
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+    # guard: narrow inputs (<= multiple//2) are never padded
+    narrow = Conv2d(3, 16, 3, padding=1, pad_in_multiple=128)
+    v = narrow.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    assert v["params"]["kernel"].shape == (3, 3, 3, 16)
+
+    # gradients to the padding rows are exactly zero -> training parity
+    def loss(kernel):
+        return jnp.sum(
+            pad.apply({"params": {"kernel": kernel,
+                                  "bias": v_pad["params"]["bias"]}}, x) ** 2
+        )
+
+    g = jax.grad(loss)(v_pad["params"]["kernel"])
+    np.testing.assert_array_equal(np.asarray(g[:, :, 75:, :]), 0.0)
+
+
+def test_pad_channel_multiple_generator_traces():
+    """The padded full-size generator traces with widened kernels on the
+    off-tile blocks only."""
+    from tpgan_tpu.config import make_config
+    from tpgan_tpu.train.gan_trainer import build_models
+
+    cfg = make_config({"G": {"pad_channel_multiple": 128},
+                       "compute_dtype": "float32"})
+    gen, _ = build_models(cfg)
+    b = 2
+    args = (
+        jnp.zeros((b, 128, 128, 3)), jnp.zeros((b, 40, 40, 3)),
+        jnp.zeros((b, 40, 40, 3)), jnp.zeros((b, 32, 40, 3)),
+        jnp.zeros((b, 32, 48, 3)), jnp.zeros((b, 64)),
+    )
+    variables = jax.eval_shape(gen.init, jax.random.PRNGKey(0), *args)
+    gp = variables["params"]["global_pathway"]
+    # add_128: 75 -> 128 on both convs' input dim
+    assert gp["add_128"]["conv0"]["conv"]["kernel"].shape[2] == 128
+    # enhance_128: 206 -> 256
+    assert gp["enhance_128"]["conv0"]["conv"]["kernel"].shape[2] == 256
+    # encoder stem untouched (RGB input)
+    assert gp["conv0_conv"]["conv"]["kernel"].shape[2] == 3
+    out = jax.eval_shape(gen.apply, variables, *args)
+    assert out.img128_fake.shape == (b, 128, 128, 3)

@@ -109,6 +109,10 @@ class GeneratorConfig:
     # D_and_G_model.py:19,162,410)
     fm_multiplier: float = 1.0
     local_feature_layer_dim: int = 64
+    # zero-pad off-tile conv input channels (75/203/206/208 concats) to
+    # this multiple for MXU lane alignment; semantics-preserving
+    # (ops.blocks.Conv2d.pad_in_multiple). None = reference-parity layout.
+    pad_channel_multiple: Optional[int] = None
 
 
 @dataclass(frozen=True)

@@ -60,6 +60,7 @@ class Generator(nn.Module):
     local_feature_layer_dim: int = 64
     dtype: Any = jnp.float32
     accum_f32: bool = True  # fast MXU f32-emit convs; False when training
+    pad_channel_multiple: Any = None  # see GlobalPathway.pad_channel_multiple
 
     @nn.compact
     def __call__(
@@ -105,6 +106,7 @@ class Generator(nn.Module):
             fm_multiplier=self.fm_multiplier,
             dtype=self.dtype,
             accum_f32=self.accum_f32,
+            pad_channel_multiple=self.pad_channel_multiple,
             name="global_pathway",
         )(i128, fused_fake, fused_feature, z, train=train)
 

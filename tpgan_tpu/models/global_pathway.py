@@ -41,6 +41,10 @@ class GlobalPathway(nn.Module):
     fm_multiplier: float = 1.0
     dtype: Any = jnp.float32
     accum_f32: bool = True  # see ops.blocks.Conv2d.accum_f32
+    # MXU channel alignment for the off-tile concat blocks
+    # (75/203/206/208 at full size) — see ops.blocks.Conv2d.pad_in_multiple.
+    # Applied to every block; the half-tile guard skips narrow inputs.
+    pad_channel_multiple: Any = None
 
     @nn.compact
     def __call__(
@@ -56,9 +60,11 @@ class GlobalPathway(nn.Module):
         enh = scale_channels([512, 256, 128, 64], self.fm_multiplier)
         head = scale_channels([64, 32], self.fm_multiplier)
         kw = dict(use_batchnorm=self.use_batchnorm, dtype=self.dtype,
-                  accum_f32=self.accum_f32)
+                  accum_f32=self.accum_f32,
+                  pad_in_multiple=self.pad_channel_multiple)
         rb_kw = dict(scaling_factor=self.scaling_factor, dtype=self.dtype,
-                     accum_f32=self.accum_f32)
+                     accum_f32=self.accum_f32,
+                     pad_in_multiple=self.pad_channel_multiple)
         lrelu2 = leaky_relu(1e-2)
 
         def enc_stage(name, cin, cout, k, stride, pad, n_res):
@@ -118,11 +124,13 @@ class GlobalPathway(nn.Module):
         h = ResidualBlock(
             dim8, dim8, 2, 1, (1, 0, 1, 0), activation=LEAKY_RELU,
             name="add_8", dtype=self.dtype, accum_f32=self.accum_f32,
+            pad_in_multiple=self.pad_channel_multiple,
         )(h, train=train)
         for i in range(2):
             h = ResidualBlock(
                 dim8, dim8, 2, 1, (1, 0, 1, 0), activation=LEAKY_RELU,
                 name=f"enhance_8_{i}", dtype=self.dtype, accum_f32=self.accum_f32,
+            pad_in_multiple=self.pad_channel_multiple,
             )(h, train=train)
         assert h.shape[1] == 8, h.shape
         h = DeconvBlock(
@@ -131,7 +139,8 @@ class GlobalPathway(nn.Module):
 
         # ---- scale 16 (D_and_G_model.py:242-247, :306-309) ----
         a16 = ResidualBlock(
-            enc[3], activation=LEAKY_RELU, name="add_16", dtype=self.dtype, accum_f32=self.accum_f32
+            enc[3], activation=LEAKY_RELU, name="add_16", dtype=self.dtype, accum_f32=self.accum_f32,
+            pad_in_multiple=self.pad_channel_multiple,
         )(conv3, train=train)
         h = jnp.concatenate([h, a16], axis=-1)
         dim16 = enh[0] + enc[3]
@@ -139,6 +148,7 @@ class GlobalPathway(nn.Module):
             h = ResidualBlock(
                 dim16, activation=LEAKY_RELU, name=f"enhance_16_{i}",
                 dtype=self.dtype, accum_f32=self.accum_f32,
+            pad_in_multiple=self.pad_channel_multiple,
             )(h, train=train)
         assert h.shape[1] == 16, h.shape
         h = DeconvBlock(
@@ -148,7 +158,8 @@ class GlobalPathway(nn.Module):
         # ---- scale 32 (D_and_G_model.py:250-256, :311-315) ----
         dim32 = enc[2] + dec[1]
         a32 = ResidualBlock(
-            dim32, activation=LEAKY_RELU, name="add_32", dtype=self.dtype, accum_f32=self.accum_f32
+            dim32, activation=LEAKY_RELU, name="add_32", dtype=self.dtype, accum_f32=self.accum_f32,
+            pad_in_multiple=self.pad_channel_multiple,
         )(jnp.concatenate([deconv_32, conv2], axis=-1), train=train)
         h = jnp.concatenate([h, a32], axis=-1)
         dim32e = enh[1] + dim32
@@ -156,6 +167,7 @@ class GlobalPathway(nn.Module):
             h = ResidualBlock(
                 dim32e, activation=LEAKY_RELU, name=f"enhance_32_{i}",
                 dtype=self.dtype, accum_f32=self.accum_f32,
+            pad_in_multiple=self.pad_channel_multiple,
             )(h, train=train)
         h = DeconvBlock(
             dim32e, enh[2], 3, 2, 1, 1, "kaiming", RELU, name="upsample_64", **kw
@@ -166,6 +178,7 @@ class GlobalPathway(nn.Module):
         a64 = ResidualBlock(
             dim64, kernel_size=5, activation=LEAKY_RELU, name="add_64",
             dtype=self.dtype, accum_f32=self.accum_f32,
+            pad_in_multiple=self.pad_channel_multiple,
         )(jnp.concatenate([deconv_64, conv1], axis=-1), train=train)
         h = jnp.concatenate([h, a64], axis=-1)
         dim64e = enh[2] + dim64
@@ -173,6 +186,7 @@ class GlobalPathway(nn.Module):
             h = ResidualBlock(
                 dim64e, activation=LEAKY_RELU, name=f"enhance_64_{i}",
                 dtype=self.dtype, accum_f32=self.accum_f32,
+            pad_in_multiple=self.pad_channel_multiple,
             )(h, train=train)
         h = DeconvBlock(
             dim64e, enh[3], 3, 2, 1, 1, "kaiming", RELU, name="upsample_128", **kw
@@ -184,6 +198,7 @@ class GlobalPathway(nn.Module):
         a128 = ResidualBlock(
             dim128, kernel_size=7, activation=LEAKY_RELU, name="add_128",
             dtype=self.dtype, accum_f32=self.accum_f32,
+            pad_in_multiple=self.pad_channel_multiple,
         )(jnp.concatenate([deconv_128, conv0, i128.astype(h.dtype)], axis=-1),
           train=train)
         h = jnp.concatenate(
@@ -195,6 +210,7 @@ class GlobalPathway(nn.Module):
         h = ResidualBlock(
             dim128e, kernel_size=5, activation=LEAKY_RELU, name="enhance_128",
             dtype=self.dtype, accum_f32=self.accum_f32,
+            pad_in_multiple=self.pad_channel_multiple,
         )(h, train=train)
 
         # ---- head (D_and_G_model.py:274-279, :326-328) ----
@@ -204,6 +220,7 @@ class GlobalPathway(nn.Module):
         h = ResidualBlock(
             head[0], kernel_size=3, activation=LEAKY_RELU, name="conv5_res",
             dtype=self.dtype, accum_f32=self.accum_f32,
+            pad_in_multiple=self.pad_channel_multiple,
         )(h, train=train)
         h = ConvBlock(
             head[0], head[1], 3, 1, 1, "kaiming", LEAKY_RELU, name="conv6", **kw
@@ -211,6 +228,7 @@ class GlobalPathway(nn.Module):
         decoded = ConvBlock(
             head[1], 3, 3, 1, 1, None, None, use_batchnorm=False,
             dtype=self.dtype, accum_f32=self.accum_f32,
+            pad_in_multiple=self.pad_channel_multiple,
             name="decoded_img128",
         )(h, train=train)
         return decoded, fc2

@@ -95,6 +95,23 @@ class Conv2d(nn.Module):
     # cotangents). True for inference graphs, False wherever the conv is
     # differentiated (training).
     accum_f32: bool = True
+    # Zero-pad the input-channel (contraction) dim to this multiple so
+    # off-tile concat widths (75/203/206/208 at full size) land on
+    # 128-lane MXU tiles. Semantics-preserving: the extra kernel rows
+    # only ever see zeros (zero forward contribution, zero gradients);
+    # output channels are untouched. Changes the kernel's stored in-dim,
+    # so checkpoints are flag-specific. Default off (parity).
+    pad_in_multiple: Optional[int] = None
+
+    def _padded_cin(self) -> int:
+        cin = self.in_channels
+        m = self.pad_in_multiple
+        # guard: only pad inputs already wider than half a tile — padding
+        # narrow inputs (RGB stems, 64-ch skips) would add real MXU MACs
+        # instead of aligning existing ones
+        if m and self.groups == 1 and cin % m and cin > m // 2:
+            return -(-cin // m) * m
+        return cin
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -104,13 +121,18 @@ class Conv2d(nn.Module):
         sh, sw = (s, s) if isinstance(s, int) else s
         reflect, pad = _canon_padding(self.padding)
 
+        cin_eff = self._padded_cin()
         kinit = self.kernel_init or init_lib.torch_default_conv()
         kernel = self.param(
             "kernel",
             kinit,
-            (kh, kw, self.in_channels // self.groups, self.out_channels),
+            (kh, kw, cin_eff // self.groups, self.out_channels),
         )
         x = x.astype(self.dtype)
+        if cin_eff != self.in_channels:
+            x = jnp.pad(
+                x, ((0, 0),) * (x.ndim - 1) + ((0, cin_eff - self.in_channels),)
+            )
         if reflect is not None:
             x = reflect_pad(x, reflect)
 
@@ -181,6 +203,7 @@ class ConvTranspose2d(nn.Module):
     bias_init: Any = None
     dtype: Any = jnp.float32
     accum_f32: bool = True  # see Conv2d.accum_f32
+    pad_in_multiple: Optional[int] = None  # see Conv2d.pad_in_multiple
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -193,11 +216,19 @@ class ConvTranspose2d(nn.Module):
         op = self.output_padding
         oph, opw = (op, op) if isinstance(op, int) else op
 
+        cin_eff = self.in_channels
+        m = self.pad_in_multiple
+        if m and cin_eff % m and cin_eff > m // 2:  # see Conv2d._padded_cin
+            cin_eff = -(-cin_eff // m) * m
         kinit = self.kernel_init or init_lib.torch_default_deconv()
         kernel = self.param(
-            "kernel", kinit, (kh, kw, self.in_channels, self.out_channels)
+            "kernel", kinit, (kh, kw, cin_eff, self.out_channels)
         )
         x = x.astype(self.dtype)
+        if cin_eff != self.in_channels:
+            x = jnp.pad(
+                x, ((0, 0),) * (x.ndim - 1) + ((0, cin_eff - self.in_channels),)
+            )
 
         from tpgan_tpu.ops import quant as quant_lib
 
@@ -325,6 +356,7 @@ class ConvBlock(nn.Module):
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     accum_f32: bool = True
+    pad_in_multiple: Optional[int] = None  # see Conv2d.pad_in_multiple
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -340,6 +372,7 @@ class ConvBlock(nn.Module):
             ),
             dtype=self.dtype,
             accum_f32=self.accum_f32,
+            pad_in_multiple=self.pad_in_multiple,
             name="conv",
         )
 
@@ -375,6 +408,7 @@ class DeconvBlock(nn.Module):
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     accum_f32: bool = True
+    pad_in_multiple: Optional[int] = None  # see Conv2d.pad_in_multiple
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -391,6 +425,7 @@ class DeconvBlock(nn.Module):
             ),
             dtype=self.dtype,
             accum_f32=self.accum_f32,
+            pad_in_multiple=self.pad_in_multiple,
             name="deconv",
         )
 
@@ -464,6 +499,7 @@ class ResidualBlock(nn.Module):
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     accum_f32: bool = True
+    pad_in_multiple: Optional[int] = None  # see Conv2d.pad_in_multiple
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -490,6 +526,7 @@ class ResidualBlock(nn.Module):
             bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
             accum_f32=self.accum_f32,
+            pad_in_multiple=self.pad_in_multiple,
         )
         if self.is_bottleneck:
             h = ConvBlock(

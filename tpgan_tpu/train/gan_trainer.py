@@ -73,6 +73,7 @@ def build_models(cfg: Config, dtype=None) -> Tuple[Generator, Discriminator]:
         local_feature_layer_dim=cfg.G.local_feature_layer_dim,
         dtype=dtype,
         accum_f32=False,
+        pad_channel_multiple=cfg.G.pad_channel_multiple,
     )
     disc = Discriminator(
         use_batchnorm=cfg.D.use_batchnorm,
