@@ -54,3 +54,24 @@ def test_aot_compile(tmp_path):
     batch, z = _inputs(2)
     out = compiled(state.g_params, batch, z)
     assert out.shape == (2, 128, 128, 3)
+
+
+def test_export_int8_roundtrip(tmp_path):
+    """Int8 PTQ graph exports to StableHLO and round-trips: the loaded
+    artifact reproduces the live int8 program exactly."""
+    from tpgan_tpu.ops.quant import calibrate_synthesis, make_int8_synthesize_fn
+
+    state, gen, *_ = create_gan_state(CFG, jax.random.PRNGKey(0))
+    batch, z = _inputs(2)
+    scales = calibrate_synthesis(
+        CFG, gen, state.g_params, [jax.device_get(batch)]
+    )
+    path = str(tmp_path / "synthesis_int8.stablehlo")
+    export_synthesis(CFG, gen, state.g_params, path, batch=2,
+                     quant_scales=scales)
+    fn = load_synthesis(path)
+    out = fn(batch, z)
+    live = jax.jit(make_int8_synthesize_fn(CFG, gen, scales))(
+        state.g_params, batch, z
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(live), rtol=1e-5)

@@ -33,12 +33,23 @@ def _example_inputs(cfg: Config, batch: int):
 
 
 def export_synthesis(
-    cfg: Config, gen, g_params, path: str, batch: int = 8
+    cfg: Config, gen, g_params, path: str, batch: int = 8,
+    quant_scales=None,
 ) -> None:
-    """Serialise the synthesis function (params baked in) to ``path``."""
+    """Serialise the synthesis function (params baked in) to ``path``.
+
+    With ``quant_scales`` (from ``ops.quant.calibrate_synthesis``), the
+    exported program is the int8 PTQ graph — weight quantisation folds
+    into the artifact, so the serving binary runs int8 MXU convs with no
+    Python-side quantisation step."""
     from jax import export as jexport
 
-    synthesize = make_synthesize_fn(cfg, gen)
+    if quant_scales is not None:
+        from tpgan_tpu.ops.quant import make_int8_synthesize_fn
+
+        synthesize = make_int8_synthesize_fn(cfg, gen, quant_scales)
+    else:
+        synthesize = make_synthesize_fn(cfg, gen)
     example, z = _example_inputs(cfg, batch)
 
     def fn(batch_in, z_in):
