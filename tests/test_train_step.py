@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from tpgan_tpu.config import make_config
+from tpgan_tpu.data.synthetic import synthetic_gan_batch
 from tpgan_tpu.train.gan_trainer import (
     create_gan_state,
     example_batch,
@@ -151,3 +152,43 @@ def test_synthesize_with_batchnorm_generator():
     out = synthesize(state.g_params, batch, z, state.g_batch_stats)
     assert out.shape == (1, 128, 128, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_train_step_decodes_uint8_batches():
+    """Production input path: uint8 batches (PackedDataset to_float=False)
+    decode on device inside the jitted step, matching the float path."""
+    from tpgan_tpu.train.gan_trainer import decode_u8_batch
+
+    cfg = make_config(
+        {
+            "G": {"fm_multiplier": 0.25, "local_feature_layer_dim": 16},
+            "D": {"fm_multiplier": 0.25},
+            "compute_dtype": "float32",
+            "train": {"batch_size": 4},
+        }
+    )
+    state, gen, disc, g_tx, d_tx = create_gan_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_gan_train_step(cfg, gen, disc, g_tx, d_tx))
+
+    fbatch = synthetic_gan_batch(4, seed=3)
+    ubatch = {
+        k: (np.clip((v + 1.0) * 127.5, 0, 255).astype(np.uint8)
+            if k != "label" else v)
+        for k, v in fbatch.items()
+    }
+    # decode_u8_batch reproduces the exact native-kernel mapping
+    dec = decode_u8_batch({k: jnp.asarray(v) for k, v in ubatch.items()})
+    from tpgan_tpu.data import native
+
+    np.testing.assert_allclose(
+        np.asarray(dec["img"]), native.u8_to_pm1(ubatch["img"]), atol=1e-7
+    )
+    assert dec["label"].dtype == jnp.int32
+
+    state2, metrics = step(
+        state, {k: jnp.asarray(v) for k, v in ubatch.items()},
+        jax.random.PRNGKey(1),
+    )
+    assert int(state2.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))

@@ -57,12 +57,18 @@ def pack_dataset(dataset, out_dir: str, shard_size: int = 1024) -> None:
 class PackedDataset:
     """Memory-mapped reader over packed shards; item = the same dict the
     source dataset produced (uint8 converted back to [-1, 1] float via
-    the native kernel)."""
+    the native kernel).
 
-    def __init__(self, directory: str):
+    ``to_float=False`` keeps images as raw uint8 — the production input
+    path: 4x less host work and host->device (tunnel) traffic, with the
+    [-1, 1] conversion running ON DEVICE inside the jitted train step
+    (gan_trainer decodes uint8 batches automatically)."""
+
+    def __init__(self, directory: str, to_float: bool = True):
         with open(os.path.join(directory, INDEX_NAME)) as f:
             self.meta = json.load(f)
         self.directory = directory
+        self.to_float = to_float
         self._mmaps: Dict[int, Dict[str, np.ndarray]] = {}
         self._offsets = np.cumsum([0] + self.meta["shards"])
 
@@ -92,5 +98,7 @@ class PackedDataset:
         out = {}
         for key, arr in maps.items():
             rec = np.asarray(arr[local])
-            out[key] = rec if key == "label" else native.u8_to_pm1(rec)
+            if key != "label" and self.to_float:
+                rec = native.u8_to_pm1(rec)
+            out[key] = rec
         return out

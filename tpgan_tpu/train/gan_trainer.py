@@ -138,6 +138,21 @@ def create_gan_state(
     return state, gen, disc, g_tx, d_tx
 
 
+def decode_u8_batch(batch: Batch) -> Batch:
+    """On-device uint8 -> [-1, 1] decode (endpoint-exact, matching the
+    native host kernel). Ships 4x less data over host->HBM (and the axon
+    tunnel) than float32 batches; XLA fuses the conversion into the first
+    consumers. Non-uint8 leaves pass through, so float pipelines are
+    unaffected."""
+
+    def dec(x):
+        if x.dtype == jnp.uint8:
+            return (2.0 * x.astype(jnp.float32) - 255.0) / 255.0
+        return x
+
+    return {k: dec(v) for k, v in batch.items()}
+
+
 def make_gan_train_step(
     cfg: Config,
     gen: Generator,
@@ -182,6 +197,7 @@ def make_gan_train_step(
     def train_step(
         state: GANTrainState, batch: Batch, rng: jax.Array
     ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+        batch = decode_u8_batch(batch)
         b = batch["img"].shape[0]
         z_rng, gp_rng, drop_rng, drop_rng2 = jax.random.split(rng, 4)
         z = jax.random.normal(z_rng, (b, zdim), jnp.float32)

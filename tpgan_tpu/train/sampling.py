@@ -57,6 +57,13 @@ def make_sample_fn(
     batch: Dict[str, np.ndarray] = {
         k: np.stack([it[k] for it in items]) for k in items[0]
     }
+    # raw-uint8 datasets (PackedDataset to_float=False): decode on host
+    # once — this is a tiny fixed probe batch
+    batch = {
+        k: ((2.0 * v.astype(np.float32) - 255.0) / 255.0
+            if v.dtype == np.uint8 else v)
+        for k, v in batch.items()
+    }
     jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
     z = jax.random.normal(jax.random.PRNGKey(seed), (n, cfg.G.zdim))
     synthesize = jax.jit(make_synthesize_fn(cfg, gen))
