@@ -63,9 +63,13 @@ def test_two_process_distributed(tmp_path):
 
     script = tmp_path / "worker.py"
     script.write_text(WORKER.replace("%PORT%", str(port)))
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # the worker runs from a tmp script file: python puts the SCRIPT's
+    # dir on sys.path, not the cwd — point it at the repo explicitly
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
 
     procs = [
         subprocess.Popen(
