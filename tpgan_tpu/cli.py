@@ -344,6 +344,55 @@ def cmd_synthesize(args) -> int:
     return 0
 
 
+def cmd_frontalize(args) -> int:
+    """Full-stack inference: raw image(s) -> landmark DETECTION (the
+    pretrained MobileNetV2+SSD) -> patches -> Generator -> frontal face.
+    No landmark annotations needed — this is the flow the reference
+    implies (it pretrains a landmark detector, then separately consumes
+    landmark *files* in TestDataset) but never connects."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from tpgan_tpu.frontalize import make_frontalize_fn
+    from tpgan_tpu.train.checkpoint import restore_checkpoint
+    from tpgan_tpu.train.gan_trainer import create_gan_state
+    from tpgan_tpu.train.pretrain import create_pretrain_state
+
+    cfg = _build_config(args)
+    det_state, detector, _tx = create_pretrain_state(cfg, jax.random.PRNGKey(0))
+    det_state = restore_checkpoint(args.detector_checkpoint, det_state)
+    det_vars = {
+        "params": det_state.params, "batch_stats": det_state.batch_stats
+    }
+
+    state, gen, *_ = create_gan_state(cfg, jax.random.PRNGKey(0))
+    if args.checkpoint:
+        state = restore_checkpoint(args.checkpoint, state)
+
+    frontalize = jax.jit(make_frontalize_fn(
+        cfg, detector, det_vars, gen, detector_size=args.detector_size
+    ))
+
+    os.makedirs(args.output, exist_ok=True)
+    z = jax.random.normal(jax.random.PRNGKey(args.seed), (1, cfg.G.zdim))
+    for path in args.image:
+        with Image.open(path) as im:
+            arr = np.asarray(im.convert("RGB"), np.uint8)
+        fake, lm5 = frontalize(state.g_params, jnp.asarray(arr)[None], z)
+        out = ((np.clip(np.asarray(fake)[0], -1, 1) + 1) * 127.5).astype(
+            np.uint8
+        )
+        name = os.path.splitext(os.path.basename(path))[0]
+        out_path = os.path.join(args.output, f"{name}_frontal.png")
+        Image.fromarray(out).save(out_path)
+        pts = ", ".join(
+            f"({x:.0f},{y:.0f})" for x, y in np.asarray(lm5)[0, :4]
+        )
+        print(f"{path}: landmarks [{pts}] -> {out_path}")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(prog="tpgan_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -410,6 +459,20 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="file with one 68-pt landmark line per image")
     p.add_argument("--out", required=True, help="output root directory")
 
+    p = sub.add_parser(
+        "frontalize",
+        help="full-stack: detect landmarks, crop patches, synthesize",
+    )
+    common(p)
+    p.add_argument("--image", action="append", required=True,
+                   help="input image (repeatable)")
+    p.add_argument("--detector-checkpoint", required=True,
+                   help="pretrained landmark-detector checkpoint "
+                        "(cli pretrain output)")
+    p.add_argument("--detector-size", type=int, default=256)
+    p.add_argument("--output", default="./frontalized")
+    p.add_argument("--seed", type=int, default=0)
+
     p = sub.add_parser("synthesize", help="profile -> frontal synthesis")
     common(p)
     p.add_argument("--image", required=True)
@@ -422,7 +485,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     return {"pretrain": cmd_pretrain, "train": cmd_train,
             "eval": cmd_eval, "prepare-data": cmd_prepare_data,
             "synthesize": cmd_synthesize, "synth-data": cmd_synth_data,
-            "train-embedder": cmd_train_embedder}[args.command](args)
+            "train-embedder": cmd_train_embedder,
+            "frontalize": cmd_frontalize}[args.command](args)
 
 
 if __name__ == "__main__":

@@ -46,14 +46,24 @@ def preprocess_for_synthesis(
     """Full synthesis-input pipeline; jit/vmap/pmap friendly (static
     shapes throughout). Returns the TestDataset tensor contract:
     img/img64/img32 + the four patches, all in [-1, 1]."""
+    lm5 = five_landmarks_from_68_jax(landmarks68.astype(jnp.float32))
+    return preprocess_for_synthesis_lm5(images, lm5)
+
+
+def preprocess_for_synthesis_lm5(
+    images: jnp.ndarray,  # (B, H, W, 3) uint8 or float in [0, 1]
+    lm5: jnp.ndarray,  # (B, 5, 2) source-frame pixel (x, y)
+) -> Dict[str, jnp.ndarray]:
+    """Same pipeline entered with 5-point landmarks directly (the form
+    the landmark DETECTOR emits — the full-stack frontalize path,
+    tpgan_tpu.frontalize — or any pre-reduced annotation)."""
     b, h, w, _ = images.shape
     x = images.astype(jnp.float32)
     if images.dtype == jnp.uint8:
         x = x / 255.0
 
-    lm5 = five_landmarks_from_68_jax(landmarks68.astype(jnp.float32))
     scale = jnp.asarray([128.0 / w, 128.0 / h], jnp.float32)
-    lm5 = lm5 * scale[None, None, :]
+    lm5 = lm5.astype(jnp.float32) * scale[None, None, :]
 
     # clip after each resize: Lanczos ringing overshoots [0, 1], which
     # PIL's uint8 output implicitly clamps (parity with the host path)

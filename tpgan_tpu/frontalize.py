@@ -1,0 +1,127 @@
+"""Full-stack frontalization: raw image -> landmark detection
+(pretrained MobileNetV2+SSD) -> landmark-centred patch crops -> the
+two-pathway Generator — fused into on-device XLA programs.
+
+The reference implies this flow but never connects it: Pretrain.py
+trains the landmark detector, TestDataset consumes landmark strings from
+annotation files (DataAndDataset.py:230-256), and nothing routes the
+detector's predictions into the GAN. This module closes that loop the
+TPU way: one jit program letterboxes the raw uint8 image, runs the
+detector, decodes the four part coordinates with the fixed-shape masked
+NMS, maps them back into the source frame, crops the patches, and runs
+the Generator — a single dispatch from raw bytes to a frontal face.
+
+Coordinate conventions: the detector was trained on letterboxed images
+whose labels transform as ``xy * scale + pad`` (data/celeba.letterbox);
+detection therefore unmaps with ``(xy - pad) / scale``. The detector's 4
+parts are classes 0-3 = (left eye, right eye, nose, mouth MIDPOINT) in
+the CelebA label order (mouth midpoint per the ``//2`` rule,
+DataAndDataset.py:142-143); the patch cropper wants 5 points with two
+mouth corners it averages back into a midpoint (DataAndDataset.py:42-43),
+so the midpoint is duplicated into both corner slots — the average is
+then exactly the detected point.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpgan_tpu.data.jit_preprocess import preprocess_for_synthesis_lm5
+from tpgan_tpu.losses.decoder import decode_landmarks
+
+
+def letterbox_batch(
+    images: jnp.ndarray,  # (B, H, W, 3) uint8 or float in [0, 1]
+    size: int,
+    allow_upscale: bool = False,
+) -> Tuple[jnp.ndarray, float, Tuple[int, int]]:
+    """On-device aspect-preserving resize into a centred, zero-padded
+    (size, size) square — the jit twin of data/celeba.letterbox (same
+    geometry: ``scale = size / max(h, w)``, centred ``(size - new) // 2``
+    pads, labels transform as ``xy * scale + pad``). H/W are static under
+    jit, so scale and pads are Python scalars and every shape is static.
+
+    ``allow_upscale=False`` matches bucketed pretraining (images smaller
+    than the bucket are padded at native scale, celeba.CelebALandmark-
+    Dataset bucket routing) — the frame the detector was trained in.
+    """
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+    x = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        x = x / 255.0
+    scale = size / max(h, w)
+    if not allow_upscale:
+        scale = min(scale, 1.0)
+    nh = max(int(round(h * scale)), 1)
+    nw = max(int(round(w * scale)), 1)
+    if (nh, nw) != (h, w):
+        x = jax.image.resize(x, (b, nh, nw, 3), method="bilinear")
+    pad_top = (size - nh) // 2
+    pad_left = (size - nw) // 2
+    x = jnp.pad(
+        x,
+        ((0, 0), (pad_top, size - nh - pad_top),
+         (pad_left, size - nw - pad_left), (0, 0)),
+    )
+    return x, scale, (pad_left, pad_top)
+
+
+def detect_lm5(
+    detector,
+    det_variables,
+    images: jnp.ndarray,  # (B, H, W, 3) uint8 or float in [0, 1]
+    detector_size: int = 256,
+    confidence_threshold: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Detect the 4 part landmarks and expand to the 5-point synthesis
+    convention. Returns (lm5 (B, 5, 2) source-frame pixels, valid (B, 4)
+    per-part detection mask). ``confidence_threshold=0`` always commits
+    to the best-scoring location per part (the serving choice — a face
+    is assumed present); raise it to get honest validity flags.
+    """
+    boxed, scale, (pad_left, pad_top) = letterbox_batch(images, detector_size)
+    loc, cls = detector.apply(det_variables, boxed, train=False)
+    decoded = decode_landmarks(
+        loc, cls, confidence_threshold=confidence_threshold, top_k=1
+    )
+    pts = decoded.points[:, :4, 0, :]  # classes 0-3 = parts; 4 = background
+    valid = decoded.valid[:, :4, 0]
+    pad = jnp.asarray([pad_left, pad_top], jnp.float32)
+    pts = (pts - pad[None, None, :]) / scale
+    # 5-point form: mouth midpoint duplicated into both corner slots
+    lm5 = jnp.concatenate([pts, pts[:, 3:4, :]], axis=1)
+    return lm5, valid
+
+
+def make_frontalize_fn(
+    cfg,
+    detector,
+    det_variables,
+    gen,
+    detector_size: int = 256,
+):
+    """Build the fused raw-image -> frontal-face program.
+
+    Returns ``fn(g_params, images, z) -> (frontal (B, 128, 128, 3) in
+    [-1, 1], lm5 (B, 5, 2))``; jit it (or let the first call cache per
+    input shape). The detector variables are closed over (they are
+    serving constants); generator params stay an argument so checkpoint
+    swaps don't retrace.
+    """
+    from tpgan_tpu.train.gan_trainer import make_synthesize_fn
+
+    detector = detector.clone(accum_f32=True)  # inference-only path
+    synthesize = make_synthesize_fn(cfg, gen)
+
+    def frontalize(g_params, images, z, batch_stats=None):
+        lm5, _valid = detect_lm5(
+            detector, det_variables, images, detector_size=detector_size
+        )
+        batch = preprocess_for_synthesis_lm5(images, lm5)
+        fake = synthesize(g_params, batch, z, batch_stats=batch_stats)
+        return fake, lm5
+
+    return frontalize
