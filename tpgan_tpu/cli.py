@@ -261,6 +261,8 @@ def cmd_eval(args) -> int:
         fx_vars = restore_checkpoint(args.identity_checkpoint, fx_vars)
         embed = jax.jit(make_identity_embed_fn(fx, fx_vars))
 
+    # per-item metrics so the JSON can report the Multi-PIE-style
+    # per-camera (yaw) breakdown as well as the aggregates
     psnrs, ssims = [], []
     probe_emb, probe_lbl, gallery = [], [], {}
     rng = jax.random.PRNGKey(args.seed)
@@ -272,8 +274,8 @@ def cmd_eval(args) -> int:
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
         fake = synthesize(state.g_params, jb, z)
         gt = jb["img_frontal"]
-        psnrs.append(float(psnr(fake, gt)))
-        ssims.append(float(ssim(fake, gt)))
+        psnrs.append(np.asarray(psnr(fake, gt, aggregate=False)))
+        ssims.append(np.asarray(ssim(fake, gt, aggregate=False)))
         if embed is not None:
             probe_emb.append(np.asarray(embed(fake)))
             probe_lbl.append(batch["label"])
@@ -281,18 +283,39 @@ def cmd_eval(args) -> int:
             for i, lbl in enumerate(batch["label"]):
                 gallery.setdefault(int(lbl), ge[i])
 
+    psnrs = np.concatenate(psnrs)
+    ssims = np.concatenate(ssims)
     out = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
            "num_images": len(ds)}
+    correct = None
     if embed is not None and gallery:
+        from tpgan_tpu.evaluate import rank1_correct
+
         g_lbl = np.asarray(sorted(gallery))
         g_emb = np.stack([gallery[int(l)] for l in g_lbl])
-        out["rank1"] = float(
-            rank1_accuracy(
+        correct = np.asarray(
+            rank1_correct(
                 jnp.asarray(np.concatenate(probe_emb)),
                 jnp.asarray(np.concatenate(probe_lbl)),
                 jnp.asarray(g_emb), jnp.asarray(g_lbl),
             )
         )
+        out["rank1"] = float(np.mean(correct))
+
+    # per-camera (yaw) breakdown — camera token = name.split('_')[-2],
+    # the Multi-PIE protocol key (DataAndDataset.py:203-205)
+    cams = [os.path.basename(p).split("_")[-2] for p in ds.img_list]
+    if len(cams) == len(psnrs):
+        per = {}
+        for cam in sorted(set(cams)):
+            sel = np.asarray([c == cam for c in cams])
+            row = {"psnr": float(np.mean(psnrs[sel])),
+                   "ssim": float(np.mean(ssims[sel])),
+                   "n": int(sel.sum())}
+            if correct is not None:
+                row["rank1"] = float(np.mean(correct[sel]))
+            per[cam] = row
+        out["per_camera"] = per
     print(json.dumps(out))
     return 0
 

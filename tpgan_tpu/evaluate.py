@@ -16,13 +16,17 @@ import jax
 import jax.numpy as jnp
 
 
-def psnr(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 2.0) -> jnp.ndarray:
-    """Peak signal-to-noise ratio per batch element, averaged.
-    ``data_range`` defaults to 2 for [-1, 1] images."""
+def psnr(
+    a: jnp.ndarray, b: jnp.ndarray, data_range: float = 2.0,
+    aggregate: bool = True,
+) -> jnp.ndarray:
+    """Peak signal-to-noise ratio per batch element (averaged unless
+    ``aggregate=False``). ``data_range`` defaults to 2 for [-1, 1]."""
     mse = jnp.mean(
         jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32)), axis=(1, 2, 3)
     )
-    return jnp.mean(10.0 * jnp.log10((data_range**2) / jnp.maximum(mse, 1e-12)))
+    v = 10.0 * jnp.log10((data_range**2) / jnp.maximum(mse, 1e-12))
+    return jnp.mean(v) if aggregate else v
 
 
 def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
@@ -33,10 +37,12 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 
 def ssim(
-    a: jnp.ndarray, b: jnp.ndarray, data_range: float = 2.0
+    a: jnp.ndarray, b: jnp.ndarray, data_range: float = 2.0,
+    aggregate: bool = True,
 ) -> jnp.ndarray:
     """Mean SSIM (Wang et al.) over an NHWC batch with the standard
-    11x11 Gaussian window, matching scikit-image's defaults."""
+    11x11 Gaussian window, matching scikit-image's defaults. With
+    ``aggregate=False`` returns the per-image mean SSIM instead."""
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
     c1 = (0.01 * data_range) ** 2
@@ -60,7 +66,7 @@ def ssim(
     s = ((2 * mu_ab + c1) * (2 * sab + c2)) / (
         (mu_a2 + mu_b2 + c1) * (sa + sb + c2)
     )
-    return jnp.mean(s)
+    return jnp.mean(s) if aggregate else jnp.mean(s, axis=(1, 2, 3))
 
 
 def rank1_accuracy(
@@ -80,6 +86,24 @@ def rank1_accuracy(
     nearest = jnp.argmax(sim, axis=-1)
     pred = gallery_labels[nearest]
     return jnp.mean((pred == probe_labels).astype(jnp.float32))
+
+
+def rank1_correct(
+    probe_embeddings: jnp.ndarray,
+    probe_labels: jnp.ndarray,
+    gallery_embeddings: jnp.ndarray,
+    gallery_labels: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-probe Rank-1 hit mask (bool (P,)) — for grouped breakdowns
+    (e.g. accuracy vs yaw in the Multi-PIE protocol tables)."""
+    p = probe_embeddings / jnp.linalg.norm(
+        probe_embeddings, axis=-1, keepdims=True
+    ).clip(1e-12)
+    g = gallery_embeddings / jnp.linalg.norm(
+        gallery_embeddings, axis=-1, keepdims=True
+    ).clip(1e-12)
+    nearest = jnp.argmax(p @ g.T, axis=-1)
+    return gallery_labels[nearest] == probe_labels
 
 
 def evaluate_frontalization(
