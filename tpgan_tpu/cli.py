@@ -263,7 +263,7 @@ def cmd_eval(args) -> int:
 
     # per-item metrics so the JSON can report the Multi-PIE-style
     # per-camera (yaw) breakdown as well as the aggregates
-    psnrs, ssims = [], []
+    psnrs, ssims, id_sims = [], [], []
     probe_emb, probe_lbl, gallery = [], [], {}
     rng = jax.random.PRNGKey(args.seed)
     for batch in batch_iterator(ds, args.batch_size, shuffle=False, epochs=1,
@@ -277,9 +277,14 @@ def cmd_eval(args) -> int:
         psnrs.append(np.asarray(psnr(fake, gt, aggregate=False)))
         ssims.append(np.asarray(ssim(fake, gt, aggregate=False)))
         if embed is not None:
-            probe_emb.append(np.asarray(embed(fake)))
-            probe_lbl.append(batch["label"])
+            pe = np.asarray(embed(fake))
             ge = np.asarray(embed(gt))
+            probe_emb.append(pe)
+            probe_lbl.append(batch["label"])
+            # identity similarity: cosine(embed(fake_i), embed(frontal_i))
+            pn = pe / np.maximum(np.linalg.norm(pe, axis=-1, keepdims=True), 1e-12)
+            gn = ge / np.maximum(np.linalg.norm(ge, axis=-1, keepdims=True), 1e-12)
+            id_sims.append(np.sum(pn * gn, axis=-1))
             for i, lbl in enumerate(batch["label"]):
                 gallery.setdefault(int(lbl), ge[i])
 
@@ -288,6 +293,9 @@ def cmd_eval(args) -> int:
     out = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
            "num_images": len(ds)}
     correct = None
+    if id_sims:
+        id_sims = np.concatenate(id_sims)
+        out["identity_sim"] = float(np.mean(id_sims))
     if embed is not None and gallery:
         from tpgan_tpu.evaluate import rank1_correct
 
@@ -314,6 +322,8 @@ def cmd_eval(args) -> int:
                    "n": int(sel.sum())}
             if correct is not None:
                 row["rank1"] = float(np.mean(correct[sel]))
+            if len(id_sims) == len(psnrs):
+                row["identity_sim"] = float(np.mean(id_sims[sel]))
             per[cam] = row
         out["per_camera"] = per
     print(json.dumps(out))
