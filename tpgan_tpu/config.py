@@ -113,6 +113,10 @@ class GeneratorConfig:
     # this multiple for MXU lane alignment; semantics-preserving
     # (ops.blocks.Conv2d.pad_in_multiple). None = reference-parity layout.
     pad_channel_multiple: Optional[int] = None
+    # "deconv" = reference-parity transpose convs; "resize_conv" = opt-in
+    # nearest-upsample + 3x3 conv (checkerboard-artifact fix,
+    # ops.blocks.DeconvBlock.mode)
+    upsample_mode: str = "deconv"
 
 
 @dataclass(frozen=True)

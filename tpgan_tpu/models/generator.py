@@ -61,6 +61,7 @@ class Generator(nn.Module):
     dtype: Any = jnp.float32
     accum_f32: bool = True  # fast MXU f32-emit convs; False when training
     pad_channel_multiple: Any = None  # see GlobalPathway.pad_channel_multiple
+    upsample_mode: str = "deconv"  # see ops.blocks.DeconvBlock.mode
 
     @nn.compact
     def __call__(
@@ -80,6 +81,7 @@ class Generator(nn.Module):
             fm_multiplier=self.fm_multiplier,
             feature_layer_dim=self.local_feature_layer_dim,
             accum_f32=self.accum_f32,
+            upsample_mode=self.upsample_mode,
         )
 
         # Four independent per-part U-Nets (D_and_G_model.py:363-366,390-393)
@@ -107,6 +109,7 @@ class Generator(nn.Module):
             dtype=self.dtype,
             accum_f32=self.accum_f32,
             pad_channel_multiple=self.pad_channel_multiple,
+            upsample_mode=self.upsample_mode,
             name="global_pathway",
         )(i128, fused_fake, fused_feature, z, train=train)
 

@@ -45,6 +45,7 @@ class GlobalPathway(nn.Module):
     # (75/203/206/208 at full size) — see ops.blocks.Conv2d.pad_in_multiple.
     # Applied to every block; the half-tile guard skips narrow inputs.
     pad_channel_multiple: Any = None
+    upsample_mode: str = "deconv"  # see ops.blocks.DeconvBlock.mode
 
     @nn.compact
     def __call__(
@@ -62,6 +63,7 @@ class GlobalPathway(nn.Module):
         kw = dict(use_batchnorm=self.use_batchnorm, dtype=self.dtype,
                   accum_f32=self.accum_f32,
                   pad_in_multiple=self.pad_channel_multiple)
+        dkw = dict(kw, mode=self.upsample_mode)  # DeconvBlock-only kwargs
         rb_kw = dict(scaling_factor=self.scaling_factor, dtype=self.dtype,
                      accum_f32=self.accum_f32,
                      pad_in_multiple=self.pad_channel_multiple)
@@ -105,16 +107,16 @@ class GlobalPathway(nn.Module):
         trunk_in = trunk_in.reshape(b, 1, 1, 256 + self.zdim)
         deconv_8 = DeconvBlock(
             256 + self.zdim, dec[0], 8, 1, 0, 0, "kaiming", RELU,
-            name="deconv_8", **kw,
+            name="deconv_8", **dkw,
         )(trunk_in, train=train)                                    # 8x8
         deconv_32 = DeconvBlock(
-            dec[0], dec[1], 3, 4, 0, 1, "kaiming", RELU, name="deconv_32", **kw
+            dec[0], dec[1], 3, 4, 0, 1, "kaiming", RELU, name="deconv_32", **dkw
         )(deconv_8, train=train)                                    # 32x32
         deconv_64 = DeconvBlock(
-            dec[1], dec[2], 3, 2, 1, 1, "kaiming", RELU, name="deconv_64", **kw
+            dec[1], dec[2], 3, 2, 1, 1, "kaiming", RELU, name="deconv_64", **dkw
         )(deconv_32, train=train)                                   # 64x64
         deconv_128 = DeconvBlock(
-            dec[2], dec[3], 3, 2, 1, 1, "kaiming", RELU, name="deconv_128", **kw
+            dec[2], dec[3], 3, 2, 1, 1, "kaiming", RELU, name="deconv_128", **dkw
         )(deconv_64, train=train)                                   # 128x128
 
         # ---- scale 8: fuse trunk + conv4, refine, upsample
@@ -134,7 +136,7 @@ class GlobalPathway(nn.Module):
             )(h, train=train)
         assert h.shape[1] == 8, h.shape
         h = DeconvBlock(
-            dim8, enh[0], 3, 2, 1, 1, "kaiming", RELU, name="upsample_16", **kw
+            dim8, enh[0], 3, 2, 1, 1, "kaiming", RELU, name="upsample_16", **dkw
         )(h, train=train)
 
         # ---- scale 16 (D_and_G_model.py:242-247, :306-309) ----
@@ -152,7 +154,7 @@ class GlobalPathway(nn.Module):
             )(h, train=train)
         assert h.shape[1] == 16, h.shape
         h = DeconvBlock(
-            dim16, enh[1], 3, 2, 1, 1, "kaiming", RELU, name="upsample_32", **kw
+            dim16, enh[1], 3, 2, 1, 1, "kaiming", RELU, name="upsample_32", **dkw
         )(h, train=train)
 
         # ---- scale 32 (D_and_G_model.py:250-256, :311-315) ----
@@ -170,7 +172,7 @@ class GlobalPathway(nn.Module):
             pad_in_multiple=self.pad_channel_multiple,
             )(h, train=train)
         h = DeconvBlock(
-            dim32e, enh[2], 3, 2, 1, 1, "kaiming", RELU, name="upsample_64", **kw
+            dim32e, enh[2], 3, 2, 1, 1, "kaiming", RELU, name="upsample_64", **dkw
         )(h, train=train)
 
         # ---- scale 64 (D_and_G_model.py:259-265, :317-321) ----
@@ -189,7 +191,7 @@ class GlobalPathway(nn.Module):
             pad_in_multiple=self.pad_channel_multiple,
             )(h, train=train)
         h = DeconvBlock(
-            dim64e, enh[3], 3, 2, 1, 1, "kaiming", RELU, name="upsample_128", **kw
+            dim64e, enh[3], 3, 2, 1, 1, "kaiming", RELU, name="upsample_128", **dkw
         )(h, train=train)
 
         # ---- scale 128 with local injection

@@ -34,6 +34,7 @@ class LocalPathway(nn.Module):
     fm_multiplier: float = 1.0
     dtype: Any = jnp.float32
     accum_f32: bool = True  # see ops.blocks.Conv2d.accum_f32
+    upsample_mode: str = "deconv"  # see ops.blocks.DeconvBlock.mode
 
     @nn.compact
     def __call__(
@@ -65,7 +66,8 @@ class LocalPathway(nn.Module):
         def dec_stage(name, cin, cout, skip, skip_ch):
             def f(h):
                 h = DeconvBlock(
-                    cin, cout, 3, 2, 1, 1, "kaiming", RELU, name=f"{name}_deconv", **kw
+                    cin, cout, 3, 2, 1, 1, "kaiming", RELU,
+                    mode=self.upsample_mode, name=f"{name}_deconv", **kw
                 )(h, train=train)
                 up = h
                 h = jnp.concatenate([h, skip], axis=-1)

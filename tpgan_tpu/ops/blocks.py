@@ -393,7 +393,15 @@ class ConvBlock(nn.Module):
 
 class DeconvBlock(nn.Module):
     """ConvTranspose2d + optional BatchNorm + activation
-    (reference: ModificationLayer.py:158-202)."""
+    (reference: ModificationLayer.py:158-202).
+
+    ``mode="resize_conv"`` (opt-in, diverges from reference parity)
+    replaces the strided transpose conv with nearest-neighbour upsampling
+    to the SAME output spatial size followed by a 3x3 stride-1 conv —
+    the standard checkerboard-artifact fix (Odena et al., "Deconvolution
+    and Checkerboard Artifacts", Distill 2016). Channel/bias/norm/act
+    packaging is unchanged, so the two modes are drop-in graph swaps
+    (their param trees differ: ``conv`` vs ``deconv``)."""
 
     in_channels: int
     out_channels: int
@@ -409,25 +417,67 @@ class DeconvBlock(nn.Module):
     dtype: Any = jnp.float32
     accum_f32: bool = True
     pad_in_multiple: Optional[int] = None  # see Conv2d.pad_in_multiple
+    mode: str = "deconv"  # "deconv" (reference parity) | "resize_conv"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        deconv = ConvTranspose2d(
-            self.in_channels,
-            self.out_channels,
-            self.kernel_size,
-            self.stride,
-            self.padding,
-            self.output_padding,
-            use_bias=not self.use_batchnorm,
-            kernel_init=init_lib.deconv_kernel_init(
-                self.weight_init, negative_slope(self.activation)
-            ),
-            dtype=self.dtype,
-            accum_f32=self.accum_f32,
-            pad_in_multiple=self.pad_in_multiple,
-            name="deconv",
-        )
+        if self.mode == "resize_conv":
+            k = self.kernel_size
+            kh, kw_ = (k, k) if isinstance(k, int) else k
+            s = self.stride
+            sh, sw = (s, s) if isinstance(s, int) else s
+            p = self.padding
+            ph, pw = (p, p) if isinstance(p, int) else p
+            op = self.output_padding
+            oph, opw = (op, op) if isinstance(op, int) else op
+            conv = Conv2d(
+                self.in_channels,
+                self.out_channels,
+                3, 1, 1,
+                use_bias=not self.use_batchnorm,
+                kernel_init=init_lib.conv_kernel_init(
+                    self.weight_init, negative_slope(self.activation)
+                ),
+                dtype=self.dtype,
+                accum_f32=self.accum_f32,
+                pad_in_multiple=self.pad_in_multiple,
+                name="conv",
+            )
+
+            def deconv(h):
+                # target size = the torch ConvTranspose2d output formula,
+                # so the two modes are shape-identical at every call site
+                hh, ww = h.shape[1], h.shape[2]
+                out_h = (hh - 1) * sh - 2 * ph + kh + oph
+                out_w = (ww - 1) * sw - 2 * pw + kw_ + opw
+                if out_h % hh == 0 and out_w % ww == 0:
+                    h = jnp.repeat(h, out_h // hh, axis=1)
+                    h = jnp.repeat(h, out_w // ww, axis=2)
+                else:
+                    h = jax.image.resize(
+                        h, (h.shape[0], out_h, out_w, h.shape[3]), "nearest"
+                    )
+                return conv(h)
+
+        elif self.mode == "deconv":
+            deconv = ConvTranspose2d(
+                self.in_channels,
+                self.out_channels,
+                self.kernel_size,
+                self.stride,
+                self.padding,
+                self.output_padding,
+                use_bias=not self.use_batchnorm,
+                kernel_init=init_lib.deconv_kernel_init(
+                    self.weight_init, negative_slope(self.activation)
+                ),
+                dtype=self.dtype,
+                accum_f32=self.accum_f32,
+                pad_in_multiple=self.pad_in_multiple,
+                name="deconv",
+            )
+        else:
+            raise ValueError(f"unknown DeconvBlock mode {self.mode!r}")
 
         def norm_act(h, channels):
             if self.use_batchnorm:

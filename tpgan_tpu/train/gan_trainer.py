@@ -74,6 +74,7 @@ def build_models(cfg: Config, dtype=None) -> Tuple[Generator, Discriminator]:
         dtype=dtype,
         accum_f32=False,
         pad_channel_multiple=cfg.G.pad_channel_multiple,
+        upsample_mode=cfg.G.upsample_mode,
     )
     disc = Discriminator(
         use_batchnorm=cfg.D.use_batchnorm,
