@@ -300,3 +300,48 @@ def test_prepare_dataset_roundtrip(tmp_path):
     assert item["img_frontal"].shape == (128, 128, 3)
     assert item["mouth"].shape == (32, 48, 3)
     assert int(item["label"]) in (1, 2)
+
+
+def test_device_resident_dataset(tmp_path):
+    """load_packed_to_device + device_batch_iterator: whole-dataset HBM
+    residency with on-device index gathers (~zero H2D per step)."""
+    import jax
+
+    from tpgan_tpu.data.packing import (
+        PackedDataset,
+        device_batch_iterator,
+        load_packed_to_device,
+        pack_dataset,
+    )
+    from tpgan_tpu.data.synthetic import synthetic_gan_batch
+
+    class Source:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            return {k: v[0] for k, v in synthetic_gan_batch(1, seed=i).items()}
+
+    out = str(tmp_path / "packed")
+    pack_dataset(Source(), out, shard_size=2)
+
+    data = load_packed_to_device(out)
+    ds = PackedDataset(out, to_float=False)
+    assert set(data) == set(ds.meta["keys"])
+    assert int(data["img"].shape[0]) == 5
+    assert str(data["img"].dtype) == "uint8"
+    # device copy matches the memmap reader item-for-item
+    for i in (0, 2, 4):
+        host = ds[i]
+        for k in host:
+            np.testing.assert_array_equal(np.asarray(data[k][i]), host[k])
+
+    it = device_batch_iterator(data, batch_size=3, seed=0)
+    batch = next(it)
+    assert batch["img"].shape == (3, 128, 128, 3)
+    assert isinstance(batch["img"], jax.Array)
+    # every gathered row is one of the source rows
+    rows = np.asarray(data["img"])
+    got = np.asarray(batch["img"])
+    for r in got:
+        assert any(np.array_equal(r, s) for s in rows)

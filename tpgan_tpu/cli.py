@@ -124,10 +124,26 @@ def cmd_train(args) -> int:
     steps_total = args.steps or cfg.train.num_epochs * max(
         len(ds) // cfg.train.batch_size, 1
     )
-    batches = prefetch_to_device(
-        batch_iterator(ds, cfg.train.batch_size, shuffle=True, epochs=None),
-        size=2,
-    )
+    if args.device_data:
+        if not args.packed:
+            raise SystemExit("--device-data requires --packed shards")
+        from tpgan_tpu.data.packing import (
+            device_batch_iterator,
+            load_packed_to_device,
+        )
+
+        # whole dataset lives in HBM; batches gathered on device by
+        # index — ~zero H2D per step (see packing.load_packed_to_device)
+        print("[train] loading packed dataset to device...", file=sys.stderr)
+        data_dev = load_packed_to_device(args.packed)
+        jax.block_until_ready(data_dev)
+        print("[train] dataset resident in HBM", file=sys.stderr)
+        batches = device_batch_iterator(data_dev, cfg.train.batch_size)
+    else:
+        batches = prefetch_to_device(
+            batch_iterator(ds, cfg.train.batch_size, shuffle=True, epochs=None),
+            size=2,
+        )
     sample_fn = None
     if args.sample_dir:
         from tpgan_tpu.train.gan_trainer import create_gan_state
@@ -447,6 +463,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--packed", default=None,
                    help="read training data from a packed-shard directory "
                         "(data/packing.py) instead of cfg.train.img_list")
+    p.add_argument("--device-data", action="store_true",
+                   help="load the packed dataset fully into device memory "
+                        "and gather batches on device (~zero H2D per "
+                        "step; dataset must fit HBM)")
     p.add_argument("--sample-dir", default=None,
                    help="write periodic [profile/fake/frontal] sample "
                         "grids here")

@@ -102,3 +102,57 @@ class PackedDataset:
                 rec = native.u8_to_pm1(rec)
             out[key] = rec
         return out
+
+
+# --------------------------------------------------------------------------
+# Device-resident dataset mode
+# --------------------------------------------------------------------------
+
+def load_packed_to_device(directory: str) -> Dict[str, "object"]:
+    """Load the whole packed dataset into device memory (uint8/int32),
+    one array per key, stacked over items.
+
+    Datasets that fit HBM (the full Multi-PIE-layout GAN protocol packs
+    to ~0.4 GB uint8 against 16 GB on a v5e) never need a host input
+    pipeline at all: batches are gathered ON DEVICE by index
+    (:func:`device_batch_iterator`), so steady-state training performs
+    ~zero host->device traffic — the step is never feed-bound, and
+    remoted PJRT backends whose clients hold transfer buffers (measured
+    here: the tunnel leaks the full buffer per ``device_put``) stay flat
+    on host RAM instead of accumulating ~10 MB/step.
+    """
+    import jax
+
+    ds = PackedDataset(directory, to_float=False)
+    num_shards = len(ds.meta["shards"])
+    out = {}
+    for key in ds.meta["keys"]:
+        parts = [
+            np.load(
+                os.path.join(directory, f"shard_{s}_{key}.npy"), mmap_mode="r"
+            )
+            for s in range(num_shards)
+        ]
+        host = np.concatenate(parts) if len(parts) > 1 else np.asarray(parts[0])
+        out[key] = jax.device_put(host)
+    return out
+
+
+def device_batch_iterator(
+    data: Dict[str, "object"], batch_size: int, seed: int = 0
+) -> Iterator[Dict[str, "object"]]:
+    """Infinite iterator over on-device batches gathered by random index
+    from a device-resident dataset (:func:`load_packed_to_device`).
+
+    Per step the host only ships the index vector (batch_size x int32,
+    ~0.5 KB) — the gather itself runs on device. Sampling is with
+    replacement (the i.i.d. regime the WGAN-GP critic assumes)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = int(next(iter(data.values())).shape[0])
+    take = jax.jit(lambda d, idx: jax.tree.map(lambda a: a[idx], d))
+    rng = np.random.RandomState(seed)
+    while True:
+        idx = jnp.asarray(rng.randint(0, n, size=(batch_size,)), jnp.int32)
+        yield take(data, idx)
