@@ -10,6 +10,11 @@ Usage: python examples/bench_variance.py [--n 5]
 
 from __future__ import annotations
 
+# repo-root import when run as `python examples/<script>.py`
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+del _os, _sys
+
 import argparse
 import json
 

@@ -13,6 +13,11 @@ Usage::
 
 from __future__ import annotations
 
+# repo-root import when run as `python examples/<script>.py`
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+del _os, _sys
+
 import argparse
 import json
 
@@ -46,7 +51,7 @@ def main() -> int:
     with open(args.img_list) as f:
         ds = TrainDataset([l.strip() for l in f if l.strip()])
 
-    it = batch_iterator(ds, args.batch_size, shuffle=False, epochs=1)
+    it = batch_iterator(ds, args.batch_size, shuffle=False, epochs=None)
     calib = [next(it) for _ in range(args.calib_batches)]
     scales = calibrate_synthesis(cfg, gen, state.g_params, calib)
 

@@ -10,6 +10,11 @@ Usage: python examples/pallas_conv_ab.py
 
 from __future__ import annotations
 
+# repo-root import when run as `python examples/<script>.py`
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+del _os, _sys
+
 import json
 import time
 
@@ -39,7 +44,7 @@ def bench(fn, x, w, b, scan_len=16, repeats=3) -> float:
             acc, xx = carry
             y = fn(xx, w, b, 0.2)
             s = jnp.sum(y.astype(jnp.float32))
-            return (acc + s, xx + s * 1e-12), None
+            return (acc + s, xx + (s * 1e-12).astype(xx.dtype)), None
 
         (acc, _), _ = jax.lax.scan(
             body, (jnp.zeros((), jnp.float32), x), None, length=scan_len

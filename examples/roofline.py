@@ -14,6 +14,11 @@ Usage: python examples/roofline.py [--imgs-per-sec N] [--mode bf16|int8]
 
 from __future__ import annotations
 
+# repo-root import when run as `python examples/<script>.py`
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+del _os, _sys
+
 import argparse
 import json
 

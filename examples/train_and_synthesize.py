@@ -2,6 +2,11 @@
 checkpoint, restore, and synthesis — the whole user-facing API surface in
 ~60 lines. Run: ``python examples/train_and_synthesize.py``."""
 
+# repo-root import when run as `python examples/<script>.py`
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+del _os, _sys
+
 import tempfile
 
 import numpy as np

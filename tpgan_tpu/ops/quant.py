@@ -143,10 +143,14 @@ def calibrate_synthesis(
     gen = gen.clone(accum_f32=True)
 
     @jax.jit
-    def calib_step(qvars, batch, z):
+    def calib_step(params, qvars, batch, z):
+        # params is an ARGUMENT, not a closure capture: closed-over
+        # weights inline into the HLO as constants (tens of MB), which
+        # both bloats every compile and overflows request-size limits on
+        # remoted-compile backends
         with quant_mode(CALIB):
             _, mut = gen.apply(
-                {"params": g_params, "quant": qvars},
+                {"params": params, "quant": qvars},
                 batch["img"], batch["left_eye"], batch["right_eye"],
                 batch["nose"], batch["mouth"], z,
                 use_dropout=False,
@@ -179,7 +183,7 @@ def calibrate_synthesis(
                 )
             qvars = mut["quant"]
         else:
-            qvars = calib_step(qvars, jb, z)
+            qvars = calib_step(g_params, qvars, jb, z)
     return jax.device_get(qvars)
 
 
