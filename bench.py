@@ -1,6 +1,10 @@
 """Benchmark: TP-GAN frontalization synthesis throughput, imgs/sec/chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline",
+"mode", "modes"} after EVERY completed measurement (the consumer parses
+the last line), so a partial run under an external timeout still reports
+everything measured so far; modes are skipped when the soft
+``--time-budget`` would be exceeded.
 
 * value: our full-size two-pathway Generator (bfloat16, jitted, NHWC) on
   the default JAX device (the TPU chip under the driver), best over a
@@ -15,10 +19,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+_START = time.monotonic()
+_BASELINE_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "artifacts",
+    "bench_baseline_torch.json",
+)
 
 
 def _bench_batch(b: int):
@@ -35,7 +46,8 @@ def _bench_batch(b: int):
 
 
 def bench_ours(
-    batch_sizes=(128, 256), scan_len=8, repeats=3, mode="bf16"
+    batch_sizes=(256, 128), scan_len=8, repeats=3, mode="bf16",
+    on_result=None,
 ) -> float:
     """Timing methodology (validated against the tunnel's semantics):
 
@@ -54,6 +66,14 @@ def bench_ours(
     """
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: repeat bench invocations (each driver
+    # round) skip the dominant cost — the synthesis-graph compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from tpgan_tpu.config import make_config
     from tpgan_tpu.train.gan_trainer import create_gan_state, make_synthesize_fn
@@ -98,6 +118,11 @@ def bench_ours(
             float(scan_bench(state.g_params, batch, z))
             dt = min(dt, time.perf_counter() - t0)
         best = max(best, b * scan_len / dt)
+        if on_result is not None:
+            # incremental: every finished batch size updates the headline
+            # JSON line immediately (the driver parses the LAST line, so a
+            # later timeout can never lose an already-measured number)
+            on_result(best)
     return best
 
 
@@ -264,6 +289,38 @@ def bench_torch_reference(batch_size=2, iters=2, warmup=1) -> float:
     return b * iters / (time.perf_counter() - t0)
 
 
+def _load_cached_baseline():
+    """Torch-baseline cache: the reference-graph torch forward speed is a
+    constant of this HOST (torch CPU, ~0.7 imgs/s), not of the code under
+    test — measuring it inside every driver bench run burns ~30 s of the
+    timeout for a number that never changes. Measured once, cached in
+    artifacts/, reused thereafter (delete the file or pass
+    --refresh-baseline to re-measure)."""
+    try:
+        with open(_BASELINE_CACHE) as f:
+            rec = json.load(f)
+        return float(rec["imgs_per_sec"])
+    except Exception:
+        return None
+
+
+def _measure_and_cache_baseline():
+    base = bench_torch_reference()
+    try:
+        os.makedirs(os.path.dirname(_BASELINE_CACHE), exist_ok=True)
+        with open(_BASELINE_CACHE, "w") as f:
+            json.dump(
+                {"imgs_per_sec": base,
+                 "note": "torch-CPU reference-graph forward on this host "
+                         "(bench_torch_reference); constant of the host, "
+                         "not of the code under test"},
+                f,
+            )
+    except Exception:
+        pass
+    return base
+
+
 def main():
     import argparse
 
@@ -274,42 +331,93 @@ def main():
              "fastest mode becomes the headline value",
     )
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument(
+        "--time-budget", type=float,
+        default=float(os.environ.get("TPGAN_BENCH_BUDGET", 480.0)),
+        help="soft wall-clock budget (s); later modes are skipped when "
+             "the remaining budget is too small, so a complete JSON line "
+             "is always printed before any external timeout",
+    )
+    ap.add_argument("--refresh-baseline", action="store_true")
     args = ap.parse_args()
 
-    modes = {}
-    for mode in args.modes.split(","):
-        mode = mode.strip()
-        # bf16 keeps the full sweep (round-1 continuity); variants bench
-        # at the winning batch size only to bound tunnel-compile time
-        sizes = (128, 256) if mode == "bf16" else (256,)
+    mode_list = [m.strip() for m in args.modes.split(",") if m.strip()]
+    modes = {m: None for m in mode_list}
+    skipped = []
+    base = None if args.refresh_baseline else _load_cached_baseline()
+
+    def emit():
+        """Print the complete headline JSON line reflecting everything
+        measured SO FAR — called after every measurement so the driver's
+        tail-parse always finds a valid line even if a timeout kills the
+        remainder mid-mode."""
+        measured = {k: v for k, v in modes.items() if v}
+        if measured:
+            headline_mode = max(measured, key=measured.get)
+            ours = measured[headline_mode]
+        else:
+            headline_mode, ours = None, 0.0
+        vs = (
+            round(ours / base, 2)
+            if base and np.isfinite(base) and ours else None
+        )
+        rec = {
+            "metric": "tpgan_synthesis_imgs_per_sec_per_chip",
+            "value": ours,
+            "unit": "imgs/s",
+            "vs_baseline": vs,
+            "mode": headline_mode,
+            "modes": modes,
+        }
+        if skipped:
+            rec["skipped"] = skipped
+        print(json.dumps(rec), flush=True)
+
+    def remaining():
+        return args.time_budget - (time.monotonic() - _START)
+
+    # Per-mode cost bound (compile dominates; the persistent compile
+    # cache makes repeat runs much cheaper, first runs pay ~60-150 s per
+    # new XLA program). Measured mode costs feed forward: once the first
+    # mode's true cost is known, use it to bound the next decision.
+    mode_cost_estimate = 240.0
+    first = True
+    for mode in mode_list:
+        if not first and remaining() < mode_cost_estimate:
+            skipped.append(f"{mode}(budget)")
+            print(f"# skipping mode {mode}: {remaining():.0f}s left "
+                  f"< est {mode_cost_estimate:.0f}s", file=sys.stderr)
+            emit()
+            continue
+        t0 = time.monotonic()
+        # bf16 keeps the b=256+128 sweep (round-1 continuity); variants
+        # bench at the winning batch size only to bound compile time.
+        # b=256 runs FIRST so the earliest emitted line already carries
+        # the historically-winning configuration.
+        sizes = (256, 128) if mode == "bf16" else (256,)
         try:
-            modes[mode] = round(
-                bench_ours(batch_sizes=sizes, repeats=args.repeats, mode=mode), 2
+            modes[mode] = None
+
+            def on_result(best, _mode=mode):
+                modes[_mode] = round(best, 2)
+                emit()
+
+            bench_ours(
+                batch_sizes=sizes, repeats=args.repeats, mode=mode,
+                on_result=on_result,
             )
         except Exception as e:  # a variant failing must not kill the bench
-            modes[mode] = None
             print(f"# mode {mode} failed: {e!r}", file=sys.stderr)
+            emit()
+        mode_cost_estimate = max(60.0, time.monotonic() - t0)
+        first = False
 
-    measured = {k: v for k, v in modes.items() if v}
-    headline_mode = max(measured, key=measured.get)
-    ours = measured[headline_mode]
-    try:
-        base = bench_torch_reference()
-    except Exception:
-        base = float("nan")
-    vs = ours / base if base and np.isfinite(base) else float("nan")
-    print(
-        json.dumps(
-            {
-                "metric": "tpgan_synthesis_imgs_per_sec_per_chip",
-                "value": ours,
-                "unit": "imgs/s",
-                "vs_baseline": round(vs, 2) if np.isfinite(vs) else None,
-                "mode": headline_mode,
-                "modes": modes,
-            }
-        )
-    )
+    if base is None and remaining() > 60.0:
+        try:
+            base = _measure_and_cache_baseline()
+        except Exception as e:
+            print(f"# torch baseline failed: {e!r}", file=sys.stderr)
+    emit()
 
 
 if __name__ == "__main__":

@@ -71,3 +71,53 @@ def test_registry_replaces_eval():
 
     with pytest.raises(KeyError):
         get_model("nope")
+
+
+def test_augment_batch_properties():
+    from tpgan_tpu.train.feature_extract import augment_batch
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32) * 2 - 1)
+    key = jax.random.PRNGKey(3)
+    out = jax.jit(augment_batch)(key, x)
+    assert out.shape == x.shape and out.dtype == x.dtype
+    assert np.isfinite(np.asarray(out)).all()
+    # deterministic under the same key, varies under another
+    out2 = jax.jit(augment_batch)(key, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    out3 = jax.jit(augment_batch)(jax.random.PRNGKey(4), x)
+    assert not np.allclose(np.asarray(out), np.asarray(out3))
+    # jitter is mild: values stay in a sane band around the input range
+    assert np.abs(np.asarray(out)).max() < 1.5
+
+
+def test_evaluate_embedder_identity_protocol():
+    """Held-out-subject validation: a fresh (random) embedder scores the
+    protocol without error; a contrived perfect embedding scores 1.0."""
+    from tpgan_tpu.config import make_config
+    from tpgan_tpu.train.feature_extract import (
+        create_feature_extract_state,
+        evaluate_embedder_identity,
+    )
+
+    cfg = make_config(
+        {"feature_extract_model": {"num_of_output_classes": 7}}
+    )
+    state, model, _tx = create_feature_extract_state(
+        cfg, jax.random.PRNGKey(0), image_size=32
+    )
+    rng = np.random.RandomState(0)
+    gallery = rng.rand(3, 32, 32, 3).astype(np.float32)
+    # probes: mild noise on the gallery images, two per subject
+    probes = np.concatenate([gallery, gallery]) + \
+        rng.randn(6, 32, 32, 3).astype(np.float32) * 0.01
+    out = evaluate_embedder_identity(
+        model, state,
+        probes, np.asarray([5, 6, 9, 5, 6, 9], np.int32),
+        gallery, np.asarray([5, 6, 9], np.int32),
+        chunk=4,
+    )
+    assert set(out) == {"val_rank1", "val_identity_sim", "val_probes"}
+    assert out["val_probes"] == 6
+    assert 0.0 <= out["val_rank1"] <= 1.0
+    assert -1.0 <= out["val_identity_sim"] <= 1.0

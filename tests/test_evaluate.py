@@ -25,6 +25,44 @@ def test_ssim_identity_and_noise():
     assert 0.0 < s < 0.8
 
 
+def test_ssim_bounded_on_adversarial_inputs():
+    """Round-2 regression: the E[x^2]-mu^2 variance form cancelled
+    catastrophically on piecewise-flat images and produced SSIM of -2.06
+    (outside the mathematical range [-1, 1]). The cancellation-safe form
+    must stay in range on every adversarial input."""
+    rng = np.random.RandomState(1)
+    cases = [
+        # piecewise-flat, large DC offset (the synthetic-protocol shape)
+        np.full((1, 48, 48, 3), 0.937, np.float32),
+        # flat + tiny noise: near-zero window variance
+        (0.81 + rng.randn(1, 48, 48, 3) * 1e-4).astype(np.float32),
+        # hard step edges
+        np.kron(rng.rand(1, 6, 6, 3) > 0.5, np.ones((1, 8, 8, 1)))
+        .astype(np.float32) * 2 - 1,
+        # out-of-range values (activation-free parity head)
+        (rng.randn(1, 48, 48, 3) * 3).astype(np.float32),
+    ]
+    for a in cases:
+        for b in cases:
+            s = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+            assert -1.0 <= s <= 1.0, (s, a.mean(), b.mean())
+    for a in cases:
+        s_aa = float(ssim(jnp.asarray(a), jnp.asarray(a)))
+        assert s_aa > 0.999, s_aa
+
+
+def test_metrics_clip_out_of_range_inputs():
+    """PSNR/SSIM score on range-clipped images: a prediction at +7 vs a
+    GT at +1 is a perfect match after clipping (the head is unbounded by
+    reference parity; the metric range is not)."""
+    gt = jnp.ones((1, 16, 16, 3))
+    pred = jnp.full((1, 16, 16, 3), 7.0)
+    assert float(psnr(pred, gt)) > 100.0
+    assert float(ssim(pred, gt)) > 0.999
+    # and clip=False preserves the raw-difference behaviour
+    assert float(psnr(pred, gt, clip=False)) < 10.0
+
+
 def test_rank1_protocol():
     # 3 identities; probes embed near their gallery entries
     gallery = jnp.asarray(np.eye(3, 4, dtype=np.float32))

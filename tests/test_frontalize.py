@@ -58,9 +58,11 @@ def test_detect_lm5_unmaps_to_source_frame():
     boxed_pts = src_pts * scale + np.asarray([pl, pt], np.float32)
     det = _StubDetector(boxed_pts)
     images = jnp.zeros((2, h, w, 3), jnp.uint8)
-    lm5, valid = detect_lm5(det, {}, images, detector_size=size)
+    lm5, valid, scores = detect_lm5(det, {}, images, detector_size=size)
     lm5 = np.asarray(lm5)
     assert lm5.shape == (2, 5, 2) and np.asarray(valid).all()
+    assert np.asarray(scores).shape == (2, 4)
+    assert (np.asarray(scores) > 0.9).all()  # stub logits are one-hot +10
     np.testing.assert_allclose(lm5[0, :4], src_pts, atol=1e-4)
     # mouth midpoint duplicated into both corner slots
     np.testing.assert_allclose(lm5[0, 3], lm5[0, 4])
@@ -81,13 +83,13 @@ def test_frontalize_end_to_end_shapes():
                 "batch_stats": det_state.batch_stats}
     state, gen, *_ = create_gan_state(cfg, jax.random.PRNGKey(1))
 
-    fn = jax.jit(make_frontalize_fn(cfg, detector, det_vars, gen,
-                                    detector_size=128))
+    fn = jax.jit(make_frontalize_fn(cfg, detector, gen, detector_size=128))
     rng = np.random.RandomState(0)
     images = jnp.asarray((rng.rand(2, 150, 110, 3) * 255).astype(np.uint8))
     z = jnp.zeros((2, cfg.G.zdim), jnp.float32)
-    fake, lm5 = fn(state.g_params, images, z)
+    fake, lm5, scores = fn(state.g_params, det_vars, images, z)
     assert fake.shape == (2, 128, 128, 3)
     assert lm5.shape == (2, 5, 2)
+    assert scores.shape == (2, 4)
     assert np.isfinite(np.asarray(fake)).all()
     assert np.isfinite(np.asarray(lm5)).all()

@@ -114,10 +114,83 @@ def test_batch_shardings_tree():
 import os
 
 
+def test_full_size_param_tree_sharding_rules():
+    """VERDICT r2 item 6: the sharding rules must be exercised at the
+    REAL full-size channel dims (75/203/206/208 and friends) in every
+    default run. Shape-only — the full param tree comes from
+    ``jax.eval_shape`` over the model inits (no arithmetic, no compile),
+    then the TP rule is applied and audited."""
+    from tpgan_tpu.config import make_config
+    from tpgan_tpu.train.gan_trainer import build_models, example_batch
+
+    cfg = make_config({"mesh": {"data": 4, "model": 2}})
+    mesh = make_mesh(cfg.mesh)
+    gen, disc = build_models(cfg, jnp.float32)
+    batch = example_batch(1, jnp.float32)
+    g_shapes = jax.eval_shape(
+        gen.init, jax.random.PRNGKey(0),
+        batch["img"], batch["left_eye"], batch["right_eye"],
+        batch["nose"], batch["mouth"], jnp.zeros((1, cfg.G.zdim)),
+    )["params"]
+    d_shapes = jax.eval_shape(
+        disc.init, jax.random.PRNGKey(1), batch["img"]
+    )["params"]
+
+    leaves = jax.tree.leaves_with_path(
+        {"g": g_shapes, "d": d_shapes}
+    )
+    dims = {s for _, leaf in leaves for s in leaf.shape}
+    # the awkward full-size dims (odd concat widths at the 128 scale and
+    # the giant fc1 contraction) must be present — this test is pointless
+    # on a slimmed model
+    assert {75, 206, 208, 32768} <= dims, sorted(dims)
+
+    sh = infer_param_shardings(mesh, {"g": g_shapes, "d": d_shapes})
+    sh_leaves = jax.tree.leaves_with_path(sh)
+    specs = {jax.tree_util.keystr(p): s.spec for p, s in sh_leaves}
+    shapes = {jax.tree_util.keystr(p): l.shape for p, l in leaves}
+    assert set(specs) == set(shapes)
+
+    sharded_bytes = total_bytes = 0
+    model_size = mesh.shape["model"]
+    for key, spec in specs.items():
+        shape = shapes[key]
+        nbytes = int(np.prod(shape)) * 4 if shape else 4
+        total_bytes += nbytes
+        flat = [a for axes in spec if axes for a in (
+            axes if isinstance(axes, tuple) else (axes,))]
+        if flat:
+            # every sharded axis must divide evenly — XLA would pad
+            # otherwise and the per-device maths below would be wrong
+            for ax, name in zip(range(len(spec)), spec):
+                if name:
+                    assert shape[ax] % model_size == 0, (key, shape, spec)
+            sharded_bytes += nbytes // model_size
+        else:
+            sharded_bytes += nbytes
+            # replication is only legitimate when NEITHER the output nor
+            # the contraction dim is wide-and-divisible
+            if len(shape) >= 2:
+                assert not (
+                    shape[-1] >= 256 and shape[-1] % model_size == 0
+                ) and not (
+                    shape[-2] >= 256 and shape[-2] % model_size == 0
+                ), (key, shape)
+
+    # the TP placement must shard a meaningful fraction of the real model
+    assert sharded_bytes < 0.8 * total_bytes, (sharded_bytes, total_bytes)
+    # fc1 (512*8*8 -> 512): the single biggest weight must be sharded
+    fc1 = [k for k in shapes if "fc1" in k and shapes[k] == (32768, 512)]
+    assert fc1 and any(a for a in specs[fc1[0]]), specs.get(fc1 and fc1[0])
+
+
 @pytest.mark.skipif(
     not os.environ.get("TPGAN_SLOW_TESTS"),
     reason="full-size (fm=1.0) train-step compile x2 takes ~30+ min on "
-    "this 1-core CPU host; set TPGAN_SLOW_TESTS=1 to run",
+    "this 1-core CPU host; set TPGAN_SLOW_TESTS=1 to run "
+    "(the full-size dims are exercised by default in "
+    "test_full_size_param_tree_sharding_rules and the driver dryrun's "
+    "full-size synthesis-equivalence branch)",
 )
 def test_full_size_tp_step_matches_dp(tmp_path):
     """VERDICT r1 item 5: one FULL-SIZE train step under mesh

@@ -75,3 +75,66 @@ def test_export_int8_roundtrip(tmp_path):
         state.g_params, batch, z
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(live), rtol=1e-5)
+
+
+def test_export_consumed_out_of_process(tmp_path):
+    """The "serving binary without Python tracing" claim, proven: a
+    FRESH interpreter that never imports tpgan_tpu deserializes the
+    StableHLO artifact (fp32 and int8 variants) and runs it on raw
+    numpy inputs — nothing from the framework is needed at serving
+    time, only jax's runtime."""
+    import os
+    import subprocess
+    import sys
+
+    from tpgan_tpu.ops.quant import calibrate_synthesis
+
+    state, gen, *_ = create_gan_state(CFG, jax.random.PRNGKey(0))
+    batch, z = _inputs(2)
+    paths = {"fp32": str(tmp_path / "synthesis.stablehlo")}
+    export_synthesis(CFG, gen, state.g_params, paths["fp32"], batch=2)
+    scales = calibrate_synthesis(
+        CFG, gen, state.g_params, [jax.device_get(batch)]
+    )
+    paths["int8"] = str(tmp_path / "synthesis_int8.stablehlo")
+    export_synthesis(CFG, gen, state.g_params, paths["int8"], batch=2,
+                     quant_scales=scales)
+
+    for k, v in batch.items():
+        np.save(tmp_path / f"{k}.npy", np.asarray(v))
+    np.save(tmp_path / "zz.npy", np.asarray(z))
+    consumer = tmp_path / "consumer.py"
+    consumer.write_text(
+        "import sys\n"
+        "import numpy as np\n"
+        # this host's sitecustomize force-registers the tunneled-TPU
+        # plugin via jax.config, which overrides JAX_PLATFORMS=cpu; the
+        # artifact was exported for cpu, so mirror the env var back
+        # (same workaround as __graft_entry__.py)
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from jax import export as jexport\n"
+        "path, data_dir, out_path = sys.argv[1:4]\n"
+        "keys = ('img', 'left_eye', 'right_eye', 'nose', 'mouth')\n"
+        "batch = {k: np.load(f'{data_dir}/{k}.npy') for k in keys}\n"
+        "z = np.load(f'{data_dir}/zz.npy')\n"
+        "fn = jexport.deserialize(open(path, 'rb').read()).call\n"
+        "out = np.asarray(fn(batch, z))\n"
+        "assert not any(m.split('.')[0] == 'tpgan_tpu'\n"
+        "               for m in sys.modules), 'framework leaked in'\n"
+        "np.save(out_path, out)\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    for variant, path in paths.items():
+        out_path = tmp_path / f"out_{variant}.npy"
+        subprocess.run(
+            [sys.executable, str(consumer), path, str(tmp_path),
+             str(out_path)],
+            check=True, env=env, timeout=300,
+        )
+        got = np.load(out_path)
+        assert got.shape == (2, 128, 128, 3) and np.isfinite(got).all()
+        # parity vs the in-process load of the same artifact
+        want = load_synthesis(path)(batch, z)
+        np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5,
+                                   atol=1e-5)

@@ -138,7 +138,9 @@ def cmd_train(args) -> int:
         data_dev = load_packed_to_device(args.packed)
         jax.block_until_ready(data_dev)
         print("[train] dataset resident in HBM", file=sys.stderr)
-        batches = device_batch_iterator(data_dev, cfg.train.batch_size)
+        batches = device_batch_iterator(
+            data_dev, cfg.train.batch_size, seed=cfg.train.seed
+        )
     else:
         batches = prefetch_to_device(
             batch_iterator(ds, cfg.train.batch_size, shuffle=True, epochs=None),
@@ -218,6 +220,39 @@ def cmd_train_embedder(args) -> int:
     cfg = _build_config(args)
     with open(args.img_list) as f:
         img_list = [line.strip() for line in f if line.strip()]
+
+    val_data = None
+    if args.val_subjects > 0:
+        # hold out WHOLE SUBJECTS: the classifier never sees them, so
+        # the validation Rank-1/identity-sim measures embedding
+        # generalization (what the GAN eval needs), not memorization
+        subject = lambda p: int(os.path.basename(p).split("_")[0])
+        camera = lambda p: os.path.basename(p).split("_")[-2]
+        subjects = sorted({subject(p) for p in img_list})
+        held = set(subjects[-args.val_subjects:])
+        val_list = [p for p in img_list if subject(p) in held]
+        img_list = [p for p in img_list if subject(p) not in held]
+        gallery, probes = {}, []
+        for p in val_list:
+            if camera(p) == "051":  # frontal camera = gallery image
+                gallery.setdefault(subject(p), p)
+            else:
+                probes.append(p)
+        load = lambda paths: np.stack(
+            [IdentityImageDataset([p])[0][0] for p in paths]
+        )
+        g_paths = [gallery[s] for s in sorted(gallery)]
+        val_data = {
+            "gallery_images": load(g_paths),
+            "gallery_labels": np.asarray(sorted(gallery), np.int32),
+            "probe_images": load(probes),
+            "probe_labels": np.asarray([subject(p) for p in probes], np.int32),
+        }
+        print(f"[embedder] training on {len(subjects) - len(held)} subjects "
+              f"({len(img_list)} images); holding out {len(held)} subjects "
+              f"({len(val_data['probe_labels'])} probes / "
+              f"{len(g_paths)} gallery)", file=sys.stderr)
+
     ds = IdentityImageDataset(img_list)
     batches = batch_iterator(
         ds, args.batch_size, shuffle=True, epochs=None
@@ -229,6 +264,9 @@ def cmd_train_embedder(args) -> int:
         steps=args.steps,
         writer=writer,
         checkpoint_dir=args.checkpoint or "./ckpt/embedder",
+        use_augment=not args.no_augment,
+        val_data=val_data,
+        val_every=args.val_every,
     )
     writer.close()
     return 0
@@ -238,7 +276,14 @@ def cmd_eval(args) -> int:
     """Frontalization quality evaluation on a Multi-PIE-style file list
     (TrainDataset protocol): PSNR/SSIM vs the frontal ground truth and
     Rank-1 identification through the identity embedder (the BASELINE.md
-    north-star quality metrics)."""
+    north-star quality metrics).
+
+    ``--z-samples N`` scores N independent noise draws per probe and
+    reports mean and spread, so the headline is robust to z.
+    ``--detector-checkpoint`` switches the landmark source from the
+    ground-truth annotations (reference TestDataset semantics,
+    DataAndDataset.py:230-256) to the trained detector — the full-stack
+    serving path — so the two runs quantify the detector's cost."""
     import json
 
     import jax
@@ -246,7 +291,7 @@ def cmd_eval(args) -> int:
 
     from tpgan_tpu.data.multipie import TrainDataset
     from tpgan_tpu.data.pipeline import batch_iterator
-    from tpgan_tpu.evaluate import psnr, rank1_accuracy, ssim
+    from tpgan_tpu.evaluate import psnr, ssim
     from tpgan_tpu.train.checkpoint import restore_checkpoint
     from tpgan_tpu.train.gan_trainer import create_gan_state, make_synthesize_fn
 
@@ -259,6 +304,21 @@ def cmd_eval(args) -> int:
     if args.checkpoint:
         state = restore_checkpoint(args.checkpoint, state)
     synthesize = jax.jit(make_synthesize_fn(cfg, gen))
+
+    frontalize = det_vars = None
+    if getattr(args, "detector_checkpoint", None):
+        from tpgan_tpu.frontalize import make_frontalize_fn
+        from tpgan_tpu.train.pretrain import create_pretrain_state
+
+        det_state, detector, _tx = create_pretrain_state(
+            cfg, jax.random.PRNGKey(0)
+        )
+        det_state = restore_checkpoint(args.detector_checkpoint, det_state)
+        det_vars = {"params": det_state.params,
+                    "batch_stats": det_state.batch_stats}
+        frontalize = jax.jit(make_frontalize_fn(
+            cfg, detector, gen, detector_size=args.detector_size
+        ))
 
     embed = None
     if args.identity_checkpoint:
@@ -278,36 +338,66 @@ def cmd_eval(args) -> int:
         embed = jax.jit(make_identity_embed_fn(fx, fx_vars))
 
     # per-item metrics so the JSON can report the Multi-PIE-style
-    # per-camera (yaw) breakdown as well as the aggregates
-    psnrs, ssims, id_sims = [], [], []
+    # per-camera (yaw) breakdown as well as the aggregates; the z axis
+    # (args.z_samples independent noise draws) is kept separate so the
+    # JSON reports both the per-probe mean and the spread over z
+    n_z = max(int(args.z_samples), 1)
+    psnrs = [[] for _ in range(n_z)]
+    ssims = [[] for _ in range(n_z)]
+    id_sims = []
     probe_emb, probe_lbl, gallery = [], [], {}
     rng = jax.random.PRNGKey(args.seed)
     for batch in batch_iterator(ds, args.batch_size, shuffle=False, epochs=1,
                                 drop_last=False):
         b = batch["img"].shape[0]
-        rng, zr = jax.random.split(rng)
-        z = jax.random.normal(zr, (b, cfg.G.zdim))
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        fake = synthesize(state.g_params, jb, z)
         gt = jb["img_frontal"]
-        psnrs.append(np.asarray(psnr(fake, gt, aggregate=False)))
-        ssims.append(np.asarray(ssim(fake, gt, aggregate=False)))
-        if embed is not None:
-            pe = np.asarray(embed(fake))
-            ge = np.asarray(embed(gt))
-            probe_emb.append(pe)
-            probe_lbl.append(batch["label"])
-            # identity similarity: cosine(embed(fake_i), embed(frontal_i))
-            pn = pe / np.maximum(np.linalg.norm(pe, axis=-1, keepdims=True), 1e-12)
-            gn = ge / np.maximum(np.linalg.norm(ge, axis=-1, keepdims=True), 1e-12)
-            id_sims.append(np.sum(pn * gn, axis=-1))
-            for i, lbl in enumerate(batch["label"]):
-                gallery.setdefault(int(lbl), ge[i])
+        rng, zr = jax.random.split(rng)
+        for zi in range(n_z):
+            z = jax.random.normal(
+                jax.random.fold_in(zr, zi), (b, cfg.G.zdim)
+            )
+            if frontalize is not None:
+                # full-stack path: reconstruct the raw uint8 profile from
+                # the normalized tensor (lossless to 1/255) and let the
+                # detector supply the landmarks
+                raw = jnp.round(
+                    (jnp.clip(jb["img"], -1, 1) + 1.0) * 127.5
+                ).astype(jnp.uint8)
+                fake, _lm5, _scores = frontalize(
+                    state.g_params, det_vars, raw, z
+                )
+            else:
+                fake = synthesize(state.g_params, jb, z)
+            psnrs[zi].append(np.asarray(psnr(fake, gt, aggregate=False)))
+            ssims[zi].append(np.asarray(ssim(fake, gt, aggregate=False)))
+            if zi == 0 and embed is not None:
+                pe = np.asarray(embed(fake))
+                ge = np.asarray(embed(gt))
+                probe_emb.append(pe)
+                probe_lbl.append(batch["label"])
+                # identity similarity: cosine(embed(fake_i), embed(frontal_i))
+                pn = pe / np.maximum(
+                    np.linalg.norm(pe, axis=-1, keepdims=True), 1e-12)
+                gn = ge / np.maximum(
+                    np.linalg.norm(ge, axis=-1, keepdims=True), 1e-12)
+                id_sims.append(np.sum(pn * gn, axis=-1))
+                for i, lbl in enumerate(batch["label"]):
+                    gallery.setdefault(int(lbl), ge[i])
 
-    psnrs = np.concatenate(psnrs)
-    ssims = np.concatenate(ssims)
+    psnr_z = np.stack([np.concatenate(p) for p in psnrs])  # (Z, N)
+    ssim_z = np.stack([np.concatenate(s) for s in ssims])
+    psnrs = psnr_z.mean(axis=0)  # per-item mean over z
+    ssims = ssim_z.mean(axis=0)
     out = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
-           "num_images": len(ds)}
+           "num_images": int(psnrs.shape[0]),
+           "landmarks": "detected" if frontalize is not None else "ground_truth"}
+    if n_z > 1:
+        # spread over z of the full-set mean: how much the headline moves
+        # with the noise draw
+        out["z_samples"] = n_z
+        out["psnr_z_std"] = float(np.std(psnr_z.mean(axis=1)))
+        out["ssim_z_std"] = float(np.std(ssim_z.mean(axis=1)))
     correct = None
     if id_sims:
         id_sims = np.concatenate(id_sims)
@@ -329,7 +419,11 @@ def cmd_eval(args) -> int:
     # per-camera (yaw) breakdown — camera token = name.split('_')[-2],
     # the Multi-PIE protocol key (DataAndDataset.py:203-205)
     cams = [os.path.basename(p).split("_")[-2] for p in ds.img_list]
-    if len(cams) == len(psnrs):
+    if len(cams) != len(psnrs):
+        print(f"warning: per-camera breakdown skipped — {len(cams)} listed "
+              f"items but {len(psnrs)} evaluated (unreadable items were "
+              f"dropped by the iterator)", file=sys.stderr)
+    else:
         per = {}
         for cam in sorted(set(cams)):
             sel = np.asarray([c == cam for c in cams])
@@ -420,15 +514,26 @@ def cmd_frontalize(args) -> int:
         state = restore_checkpoint(args.checkpoint, state)
 
     frontalize = jax.jit(make_frontalize_fn(
-        cfg, detector, det_vars, gen, detector_size=args.detector_size
+        cfg, detector, gen, detector_size=args.detector_size
     ))
 
     os.makedirs(args.output, exist_ok=True)
     z = jax.random.normal(jax.random.PRNGKey(args.seed), (1, cfg.G.zdim))
+    part_names = ("left_eye", "right_eye", "nose", "mouth")
     for path in args.image:
         with Image.open(path) as im:
             arr = np.asarray(im.convert("RGB"), np.uint8)
-        fake, lm5 = frontalize(state.g_params, jnp.asarray(arr)[None], z)
+        fake, lm5, scores = frontalize(
+            state.g_params, det_vars, jnp.asarray(arr)[None], z
+        )
+        scores = np.asarray(scores)[0]
+        low = [f"{n}={s:.2f}" for n, s in zip(part_names, scores)
+               if s < args.min_confidence]
+        if low:
+            print(f"warning: {path}: low-confidence landmark(s) "
+                  f"[{', '.join(low)}] — no face, or a pose outside the "
+                  f"detector's training distribution; output may be "
+                  f"unreliable", file=sys.stderr)
         out = ((np.clip(np.asarray(fake)[0], -1, 1) + 1) * 127.5).astype(
             np.uint8
         )
@@ -438,7 +543,8 @@ def cmd_frontalize(args) -> int:
         pts = ", ".join(
             f"({x:.0f},{y:.0f})" for x, y in np.asarray(lm5)[0, :4]
         )
-        print(f"{path}: landmarks [{pts}] -> {out_path}")
+        print(f"{path}: landmarks [{pts}] "
+              f"conf [{', '.join(f'{s:.2f}' for s in scores)}] -> {out_path}")
     return 0
 
 
@@ -495,6 +601,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--log-dir", default=None)
+    p.add_argument("--val-subjects", type=int, default=20,
+                   help="hold out this many whole subjects for "
+                        "Rank-1/identity-sim validation (0 disables)")
+    p.add_argument("--val-every", type=int, default=500)
+    p.add_argument("--no-augment", action="store_true",
+                   help="disable flip/shift/jitter augmentation "
+                        "(round-2 behaviour)")
 
     p = sub.add_parser("eval", help="PSNR/SSIM/Rank-1 evaluation")
     common(p)
@@ -502,6 +615,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--identity-checkpoint", default=None)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--z-samples", type=int, default=1,
+                   help="independent noise draws per probe; >1 adds "
+                        "mean/spread-over-z to the JSON")
+    p.add_argument("--detector-checkpoint", default=None,
+                   help="score the FULL-STACK path (landmarks from this "
+                        "trained detector instead of the ground-truth "
+                        "annotations)")
+    p.add_argument("--detector-size", type=int, default=256)
 
     p = sub.add_parser("prepare-data",
                        help="build the Multi-PIE training layout")
@@ -525,6 +646,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--detector-size", type=int, default=256)
     p.add_argument("--output", default="./frontalized")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--min-confidence", type=float, default=0.5,
+                   help="warn when any part's detection confidence is "
+                        "below this (detection still commits to argmax)")
 
     p = sub.add_parser("synthesize", help="profile -> frontal synthesis")
     common(p)

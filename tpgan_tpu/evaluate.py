@@ -18,13 +18,21 @@ import jax.numpy as jnp
 
 def psnr(
     a: jnp.ndarray, b: jnp.ndarray, data_range: float = 2.0,
-    aggregate: bool = True,
+    aggregate: bool = True, clip: bool = True,
 ) -> jnp.ndarray:
     """Peak signal-to-noise ratio per batch element (averaged unless
-    ``aggregate=False``). ``data_range`` defaults to 2 for [-1, 1]."""
-    mse = jnp.mean(
-        jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32)), axis=(1, 2, 3)
-    )
+    ``aggregate=False``). ``data_range`` defaults to 2 for [-1, 1].
+    ``clip=True`` clamps both inputs to the data range first — the
+    activation-free parity head can emit values outside [-1, 1] and a
+    fixed-peak metric is only defined on the bounded range (same
+    rationale as in :func:`ssim`)."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    if clip:
+        half = data_range / 2.0
+        a = jnp.clip(a, -half, half)
+        b = jnp.clip(b, -half, half)
+    mse = jnp.mean(jnp.square(a - b), axis=(1, 2, 3))
     v = 10.0 * jnp.log10((data_range**2) / jnp.maximum(mse, 1e-12))
     return jnp.mean(v) if aggregate else v
 
@@ -38,13 +46,29 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 def ssim(
     a: jnp.ndarray, b: jnp.ndarray, data_range: float = 2.0,
-    aggregate: bool = True,
+    aggregate: bool = True, clip: bool = True,
 ) -> jnp.ndarray:
     """Mean SSIM (Wang et al.) over an NHWC batch with the standard
     11x11 Gaussian window, matching scikit-image's defaults. With
-    ``aggregate=False`` returns the per-image mean SSIM instead."""
+    ``aggregate=False`` returns the per-image mean SSIM instead.
+
+    Numerics: variances are computed as ``E[(x - mu)^2]`` (the filtered
+    centred square), NOT ``E[x^2] - mu^2`` — the latter cancels
+    catastrophically on near-constant windows and produced negative
+    variances, i.e. SSIM values outside [-1, 1] (the round-2 -2.06
+    artifact). ``clip=True`` additionally clamps both inputs to the
+    metric's data range first — the generator head is activation-free for
+    reference parity (models/global_pathway.py head,
+    D_and_G_model.py:279), so raw outputs can exceed [-1, 1]; scoring a
+    bounded-range metric on unbounded values is undefined. PSNR/SSIM are
+    therefore always scored on range-clipped images (the standard
+    protocol: quantize/clip before metric)."""
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
+    if clip:
+        half = data_range / 2.0
+        a = jnp.clip(a, -half, half)
+        b = jnp.clip(b, -half, half)
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
     kern = _gaussian_kernel()[:, :, None, None]  # HWIO depthwise per channel
@@ -59,12 +83,23 @@ def ssim(
         )
 
     mu_a, mu_b = filt(a), filt(b)
-    mu_a2, mu_b2, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
-    sa = filt(a * a) - mu_a2
-    sb = filt(b * b) - mu_b2
-    sab = filt(a * b) - mu_ab
-    s = ((2 * mu_ab + c1) * (2 * sab + c2)) / (
-        (mu_a2 + mu_b2 + c1) * (sa + sb + c2)
+    # cancellation-safe second moments: centre on the per-image mean
+    # first (so flat regions contribute ~0 instead of mu^2-sized terms),
+    # then clamp the residual roundoff — variance is >= 0 and covariance
+    # is Cauchy-Schwarz-bounded by construction
+    ma = jnp.mean(a, axis=(1, 2), keepdims=True)
+    mb = jnp.mean(b, axis=(1, 2), keepdims=True)
+    ac, bc = a - ma, b - mb
+    mu_ac, mu_bc = filt(ac), filt(bc)
+    sa = jnp.maximum(filt(ac * ac) - mu_ac * mu_ac, 0.0)
+    sb = jnp.maximum(filt(bc * bc) - mu_bc * mu_bc, 0.0)
+    sab = filt(ac * bc) - mu_ac * mu_bc
+    # covariance is bounded by the variances (Cauchy-Schwarz); enforcing
+    # it keeps the structure term in [-1, 1] under roundoff
+    bound = jnp.sqrt(sa * sb)
+    sab = jnp.clip(sab, -bound, bound)
+    s = ((2 * mu_a * mu_b + c1) * (2 * sab + c2)) / (
+        (mu_a * mu_a + mu_b * mu_b + c1) * (sa + sb + c2)
     )
     return jnp.mean(s) if aggregate else jnp.mean(s, axis=(1, 2, 3))
 

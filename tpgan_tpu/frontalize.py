@@ -75,12 +75,13 @@ def detect_lm5(
     images: jnp.ndarray,  # (B, H, W, 3) uint8 or float in [0, 1]
     detector_size: int = 256,
     confidence_threshold: float = 0.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Detect the 4 part landmarks and expand to the 5-point synthesis
     convention. Returns (lm5 (B, 5, 2) source-frame pixels, valid (B, 4)
-    per-part detection mask). ``confidence_threshold=0`` always commits
-    to the best-scoring location per part (the serving choice — a face
-    is assumed present); raise it to get honest validity flags.
+    per-part detection mask, scores (B, 4) per-part softmax confidence).
+    ``confidence_threshold=0`` always commits to the best-scoring
+    location per part (the serving choice — a face is assumed present);
+    the scores let the caller flag low-confidence detections either way.
     """
     boxed, scale, (pad_left, pad_top) = letterbox_batch(images, detector_size)
     loc, cls = detector.apply(det_variables, boxed, train=False)
@@ -89,39 +90,41 @@ def detect_lm5(
     )
     pts = decoded.points[:, :4, 0, :]  # classes 0-3 = parts; 4 = background
     valid = decoded.valid[:, :4, 0]
+    scores = decoded.scores[:, :4, 0]
     pad = jnp.asarray([pad_left, pad_top], jnp.float32)
     pts = (pts - pad[None, None, :]) / scale
     # 5-point form: mouth midpoint duplicated into both corner slots
     lm5 = jnp.concatenate([pts, pts[:, 3:4, :]], axis=1)
-    return lm5, valid
+    return lm5, valid, scores
 
 
 def make_frontalize_fn(
     cfg,
     detector,
-    det_variables,
     gen,
     detector_size: int = 256,
 ):
     """Build the fused raw-image -> frontal-face program.
 
-    Returns ``fn(g_params, images, z) -> (frontal (B, 128, 128, 3) in
-    [-1, 1], lm5 (B, 5, 2))``; jit it (or let the first call cache per
-    input shape). The detector variables are closed over (they are
-    serving constants); generator params stay an argument so checkpoint
-    swaps don't retrace.
+    Returns ``fn(g_params, det_variables, images, z) -> (frontal
+    (B, 128, 128, 3) in [-1, 1], lm5 (B, 5, 2), part_scores (B, 4))``;
+    jit it (or let the first call cache per input shape). Both parameter
+    sets are jit ARGUMENTS, never closed over: captured weights inline
+    into the HLO as constants, which bloats the program and overflows
+    remote-compile request limits on tunneled backends (the same hazard
+    quant.calibrate_synthesis avoids).
     """
     from tpgan_tpu.train.gan_trainer import make_synthesize_fn
 
     detector = detector.clone(accum_f32=True)  # inference-only path
     synthesize = make_synthesize_fn(cfg, gen)
 
-    def frontalize(g_params, images, z, batch_stats=None):
-        lm5, _valid = detect_lm5(
+    def frontalize(g_params, det_variables, images, z, batch_stats=None):
+        lm5, _valid, scores = detect_lm5(
             detector, det_variables, images, detector_size=detector_size
         )
         batch = preprocess_for_synthesis_lm5(images, lm5)
         fake = synthesize(g_params, batch, z, batch_stats=batch_stats)
-        return fake, lm5
+        return fake, lm5, scores
 
     return frontalize
