@@ -345,3 +345,55 @@ def test_device_resident_dataset(tmp_path):
     got = np.asarray(batch["img"])
     for r in got:
         assert any(np.array_equal(r, s) for s in rows)
+
+
+def test_celeba_multi_bucket_1024_routing(tmp_path):
+    """The reference's collate filter implies images up to
+    general.image_max_size=1024 (config.py:40, Pretrain.py:66-74); the
+    bucket router must handle the full span: native-scale letterbox into
+    the smallest fitting bucket, downscale only above the top bucket,
+    label geometry exact in every bucket."""
+    from PIL import Image
+
+    from tpgan_tpu.data.pipeline import bucketed_batch_iterator
+
+    root = tmp_path / "celeba"
+    (root / "imgs").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    # spans all three buckets + one oversize (downscales into the top)
+    sizes = [(200, 150), (256, 256), (400, 380), (900, 700), (1300, 1000)]
+    lines = ["5", "header"]
+    for i, (h, w) in enumerate(sizes):
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / "imgs" / f"{i:06d}.jpg")
+        lines.append(f"{i:06d}.jpg 60 100 120 100 90 140 70 170 110 170")
+    (root / "list_landmarks_celeba.txt").write_text("\n".join(lines) + "\n")
+
+    buckets = (256, 512, 1024)
+    ds = CelebALandmarkDataset(
+        "list_landmarks_celeba.txt", str(root), buckets=buckets
+    )
+    assert [ds.bucket_for(h, w) for h, w in sizes] == [
+        256, 256, 512, 1024, 1024
+    ]
+    for i, (h, w) in enumerate(sizes):
+        img, label = ds[i]
+        b = ds.bucket_for(h, w)
+        assert img.shape == (b, b, 3)
+        # sub-bucket images letterbox at NATIVE scale (no upscaling):
+        # the label transform is xy * scale + pad with scale <= 1
+        scale = min(b / max(h, w), 1.0)
+        pad_left = (b - int(round(w * scale))) // 2
+        np.testing.assert_allclose(label[0], 60 * scale + pad_left, atol=1.0)
+        if max(h, w) <= b:
+            assert scale == 1.0  # accuracy keeps source-pixel semantics
+
+    # bucketed iterator: every batch shape-homogeneous, all items seen
+    got = {256: 0, 512: 0, 1024: 0}
+    for batch in bucketed_batch_iterator(
+        ds, 2, shuffle=False, drop_last=False, epochs=1
+    ):
+        imgs, labels = batch
+        assert imgs.shape[1] == imgs.shape[2] and imgs.shape[1] in got
+        got[imgs.shape[1]] += imgs.shape[0]
+    assert got == {256: 2, 512: 1, 1024: 2}

@@ -49,12 +49,10 @@ WORKER = textwrap.dedent(
 )
 
 
-@pytest.mark.skipif(
-    not os.environ.get("TPGAN_SLOW_TESTS"),
-    reason="spawns 2 jax processes (~2 min cold on this 1-core host); "
-    "set TPGAN_SLOW_TESTS=1 to run",
-)
 def test_two_process_distributed(tmp_path):
+    # formerly TPGAN_SLOW_TESTS-gated; un-gated because it is the cheap
+    # one of the slow set (~2 min: two jax imports + a tiny compile) and
+    # real multi-process coordination should run in every default suite
     import socket
 
     with socket.socket() as s:

@@ -181,3 +181,46 @@ def test_multibucket_pretrain_two_buckets(tmp_path):
         )
         assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 2
+
+
+def test_run_pretrain_resume_continues_schedule(tmp_path):
+    """resume=True restores the latest epoch checkpoint and continues
+    the epoch schedule from there instead of restarting at step 0 — the
+    restore half the reference's resume keys promise but never implement
+    (config.py:56-57)."""
+    cfg2 = make_config(
+        {
+            "pretrain": {
+                "image_size": SIZE,
+                "num_epochs": 2,
+                "batch_size": 2,
+                "log_step_of_batchs": 100,
+            }
+        }
+    )
+    ckpt = str(tmp_path / "ckpt")
+    # first run: epochs capped at 1 -> stops at step 3
+    cfg1 = make_config(
+        {
+            "pretrain": {
+                "image_size": SIZE,
+                "num_epochs": 1,
+                "batch_size": 2,
+                "log_step_of_batchs": 100,
+            }
+        }
+    )
+    state = run_pretrain(
+        cfg1, _batches(3), steps_per_epoch=3, checkpoint_dir=ckpt
+    )
+    assert int(state.step) == 3
+    # resumed run under the 2-epoch schedule: picks up at epoch 1 and
+    # runs exactly the remaining 3 steps
+    state = run_pretrain(
+        cfg2, _batches(10), steps_per_epoch=3, checkpoint_dir=ckpt,
+        resume=True,
+    )
+    assert int(state.step) == 6
+    from tpgan_tpu.train.checkpoint import latest_step
+
+    assert latest_step(ckpt) == 6

@@ -72,6 +72,7 @@ def cmd_pretrain(args) -> int:
         steps_per_epoch=steps_per_epoch,
         writer=writer,
         checkpoint_dir=args.checkpoint or cfg.train.checkpoint_dir,
+        resume=args.resume,
     )
     writer.close()
     return 0
@@ -559,6 +560,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p = sub.add_parser("pretrain", help="landmark-detector pretraining")
     common(p)
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint and continue the "
+                        "epoch schedule")
 
     p = sub.add_parser("train", help="TP-GAN WGAN-GP training")
     common(p)

@@ -194,18 +194,29 @@ def run_pretrain(
     checkpoint_dir: Optional[str] = None,
     seed: int = 0,
     mesh=None,
+    resume: bool = False,
 ) -> PretrainState:
     """The full pretrain driver: epochs x steps with periodic validation
     every ``log_step_of_batchs`` (reference cadence, Pretrain.py:198) and
     per-epoch + best-model checkpoints. With ``mesh``, the batch shards
     over the data axis and GSPMD all-reduces the gradients over ICI —
-    data-parallel pretraining as pure annotations."""
-    from tpgan_tpu.train.checkpoint import save_checkpoint
+    data-parallel pretraining as pure annotations. ``resume=True``
+    restores the latest per-epoch checkpoint (params + optimizer +
+    schedule step) and continues the epoch schedule from there — the
+    restore half the reference's resume config keys promise but never
+    implement (config.py:56-57)."""
+    from tpgan_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 
     rng = jax.random.PRNGKey(seed)
     state, model, tx = create_pretrain_state(
         cfg, rng, steps_per_epoch=steps_per_epoch
     )
+    start_step = 0
+    if resume and checkpoint_dir:
+        state = restore_checkpoint(checkpoint_dir, state)
+        start_step = int(state.step)
+        print(f"[pretrain] resumed from step {start_step} "
+              f"(epoch {start_step // max(steps_per_epoch, 1)})")
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -227,8 +238,9 @@ def run_pretrain(
     eval_step = jax.jit(make_eval_step(cfg, model))
 
     best_acc = -1.0
-    step = 0
-    for epoch in range(cfg.pretrain.num_epochs):
+    step = start_step
+    for epoch in range(start_step // max(steps_per_epoch, 1),
+                       cfg.pretrain.num_epochs):
         for _ in range(steps_per_epoch):
             try:
                 images, labels = next(train_batches)
