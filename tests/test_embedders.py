@@ -64,6 +64,38 @@ def test_feature_extract_mobilenet_branch():
     assert feats.shape == (1, 1280)
 
 
+def test_embed_fn_bf16_compute_dtype_backprops():
+    """Opt-in bf16 embedder (cli train --identity-embed-dtype bfloat16):
+    f32 generator output is cast into the model's compute dtype inside
+    the embed fn, and the identity loss still backpropagates a finite,
+    nonzero f32 gradient into the (f32) input images."""
+    mod = FeatureExtractModel(
+        base_model_name="mobilenetv2",
+        num_of_output_classes=11,
+        dtype=jnp.bfloat16,
+        accum_f32=False,  # differentiated path (ops/blocks.py:92-96)
+    )
+    x = jnp.zeros((1, 64, 64, 3))  # f32 init — params stay f32
+    v = jax.jit(mod.init)(jax.random.PRNGKey(0), x)
+    assert v["params"]["base"]["stem"]["kernel"].dtype == jnp.float32
+    embed = make_identity_embed_fn(mod, v)
+
+    imgs = jnp.asarray(
+        np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    )
+    feats = jax.jit(embed)(imgs)
+    assert feats.shape == (2, 1280)
+    assert np.isfinite(np.asarray(feats, np.float32)).all()
+
+    def loss(im):
+        return jnp.sum(jnp.abs(embed(im).astype(jnp.float32)))
+
+    g = jax.jit(jax.grad(loss))(imgs)
+    assert g.dtype == jnp.float32
+    g = np.asarray(g)
+    assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+
 def test_registry_replaces_eval():
     mod = get_model("mobilenetv2")
     assert type(mod).__name__ == "MobileNetV2"

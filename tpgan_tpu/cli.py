@@ -112,9 +112,23 @@ def cmd_train(args) -> int:
         )
         from tpgan_tpu.train.checkpoint import restore_checkpoint
 
+        # opt-in bf16 embedder forward: the identity loss only needs the
+        # feature DIRECTION (cosine/L1 scale), not f32 precision, and the
+        # frozen embedder is ~1/3 of G-step FLOPs — bf16 halves its MXU
+        # cost. Params stay f32 in the checkpoint; casting happens in
+        # the conv compute dtype (accum_f32 keeps reductions stable).
+        fx_dtype = (
+            jnp.bfloat16 if args.identity_embed_dtype == "bfloat16"
+            else jnp.float32
+        )
         fx = FeatureExtractModel(
             base_model_name=cfg.feature_extract_model.base_model_name,
             num_of_output_classes=cfg.feature_extract_model.num_of_output_classes,
+            dtype=fx_dtype,
+            # the embedder is differentiated (identity loss backprops into
+            # G); f32 preferred_element_type is incompatible with conv
+            # VJPs under bf16 (ops/blocks.py:92-96)
+            accum_f32=(fx_dtype == jnp.float32),
         )
         fx_vars = jax.jit(fx.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
@@ -569,6 +583,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--identity-checkpoint", default=None)
+    p.add_argument("--identity-embed-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype of the frozen identity embedder "
+                        "inside the G loss (bfloat16 halves its MXU cost)")
     p.add_argument("--log-dir", default=None)
     p.add_argument("--packed", default=None,
                    help="read training data from a packed-shard directory "

@@ -110,7 +110,10 @@ def make_identity_embed_fn(model: FeatureExtractModel, variables):
     (weights: config.py:80; resume path: config.py:84-85)."""
 
     def embed(images: jnp.ndarray) -> jnp.ndarray:
-        logits, feats = model.apply(variables, images)
+        # match the model's compute dtype (e.g. an opt-in bf16 embedder
+        # fed f32 generator output); the cast is differentiable, so the
+        # identity loss still backpropagates into the generator
+        logits, feats = model.apply(variables, images.astype(model.dtype))
         return feats if feats is not None else logits
 
     return embed
