@@ -14,6 +14,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# honor a JAX_PLATFORMS=cpu prefix even under the tunneled-TPU harness,
+# whose sitecustomize forces jax_platforms="axon,cpu" via jax.config
+# (config beats the env var; see tests/conftest.py for the same dance)
+if _platforms := __import__("os").environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", _platforms)
+
 from tpgan_tpu.config import make_config
 from tpgan_tpu.data.synthetic import synthetic_gan_batch
 from tpgan_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
