@@ -321,6 +321,27 @@ def _measure_and_cache_baseline():
     return base
 
 
+def _device_available(timeout_s: float = 150.0) -> bool:
+    """Bounded TPU-availability probe in a SUBPROCESS. When the tunnel
+    is down, the axon PJRT client blocks forever inside C (uninterruptible
+    from Python signal handlers), so probing in-process would reproduce
+    round 2's failure mode: rc 124 with no JSON line ever printed
+    (BENCH_r02.json). A killed subprocess costs ``timeout_s`` and lets
+    main() emit a parseable error line instead."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return False
+
+
 def main():
     import argparse
 
@@ -375,6 +396,18 @@ def main():
 
     def remaining():
         return args.time_budget - (time.monotonic() - _START)
+
+    # Fail-fast guard: if the device backend is unreachable (tunnel
+    # down), retry briefly, then print the JSON line with an error
+    # marker and exit 0 — a parseable line always beats an rc-124 hang.
+    while not _device_available(min(150.0, max(30.0, remaining() / 2))):
+        if remaining() < 300.0:
+            skipped.append("all(device_unavailable)")
+            emit()
+            return 0
+        print(f"# device backend unavailable; retrying "
+              f"({remaining():.0f}s budget left)", file=sys.stderr)
+        time.sleep(30.0)
 
     # Per-mode cost bound (compile dominates; the persistent compile
     # cache makes repeat runs much cheaper, first runs pay ~60-150 s per
