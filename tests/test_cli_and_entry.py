@@ -148,3 +148,30 @@ def test_cli_synth_data_gan_packed(tmp_path):
     # uint8 quantisation in the shards: within 1/127.5 of the file path
     np.testing.assert_allclose(a["img"], b["img"], atol=1.0 / 127.0)
     assert int(a["label"]) == int(b["label"])
+
+
+def test_cli_device_probe_fails_fast(monkeypatch, capsys):
+    """Chip-bound commands must exit 3 with a clear message when the
+    accelerator is unreachable — not hang in PJRT init (the device
+    tunnel's observed failure mode). Host-side commands skip the probe
+    entirely."""
+    from tpgan_tpu import cli
+    from tpgan_tpu.utils import device_check
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")  # pretend tunneled TPU
+    monkeypatch.delenv("TPGAN_SKIP_DEVICE_CHECK", raising=False)
+    monkeypatch.setattr(device_check, "device_available", lambda *a: False)
+
+    rc = cli.main(["eval", "--img-list", "/nonexistent"])
+    assert rc == 3
+    assert "unreachable" in capsys.readouterr().err
+
+    # the env opt-out restores the old behavior (command proceeds and
+    # fails on its own terms — here, the missing file)
+    monkeypatch.setenv("TPGAN_SKIP_DEVICE_CHECK", "1")
+    try:
+        cli.main(["eval", "--img-list", "/nonexistent"])
+    except (FileNotFoundError, OSError):
+        pass
+    else:  # some codepaths may surface the missing list differently
+        pass

@@ -681,6 +681,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--seed", type=int, default=0)
 
     args = parser.parse_args(argv)
+
+    # Chip-bound commands probe the accelerator with a bounded subprocess
+    # first: a dead device tunnel otherwise blocks the first backend init
+    # forever inside the PJRT C client (utils/device_check.py). Pure
+    # host-side commands (prepare-data, synth-data) skip the probe.
+    if args.command not in ("prepare-data", "synth-data"):
+        from tpgan_tpu.utils.device_check import (
+            DeviceUnavailableError,
+            ensure_device_available,
+        )
+
+        try:
+            ensure_device_available()
+        except DeviceUnavailableError as e:
+            print(f"tpgan_tpu {args.command}: {e}", file=sys.stderr)
+            return 3
+
     return {"pretrain": cmd_pretrain, "train": cmd_train,
             "eval": cmd_eval, "prepare-data": cmd_prepare_data,
             "synthesize": cmd_synthesize, "synth-data": cmd_synth_data,
