@@ -12,18 +12,23 @@
 set -ex
 cd "$(dirname "$0")/.."
 
+if [ ! -f data_synth/gan/img.list ]; then
 python -m tpgan_tpu.cli synth-data --out data_synth --protocol both \
     --subjects 347 --pretrain-images 4000 --pack
+fi
 
 # held-out eval protocol: 40 UNSEEN subjects (ids 400-439)
+if [ ! -f data_synth/eval/img.list ]; then
 python - <<'EOF'
 from tpgan_tpu.data.synthetic_faces import generate_gan_protocol
 lst = generate_gan_protocol("data_synth/eval", 40, start_subject=400)
 print("eval items:", len(lst))
 EOF
+fi
 
-# embedder list: every prepared 128x128 image (frontal included)
-find data_synth/gan -path '*128*' -name '*.png' | sort > data_synth/embedder.list
+# embedder list: every prepared 128x128 protocol image (frontal
+# included) — the 3,123 train/ pngs (347 subjects x 9 cameras)
+find data_synth/gan/train -name '*.png' | sort > data_synth/embedder.list
 wc -l data_synth/embedder.list
 
 mkdir -p runs/embedder runs/embedder_v2 runs/pretrain_v2 artifacts
