@@ -224,3 +224,62 @@ def test_run_pretrain_resume_continues_schedule(tmp_path):
     from tpgan_tpu.train.checkpoint import latest_step
 
     assert latest_step(ckpt) == 6
+
+
+def test_run_pretrain_resume_keeps_best_bar(tmp_path):
+    """A resumed run must not overwrite ``best/`` with a first-val
+    checkpoint that is worse than the historical best: the bar is
+    persisted in ``best_acc.json`` (the reference's best tracking is
+    broken outright — inverted comparison at Pretrain.py:252 — and has
+    no resume at all)."""
+    import json
+
+    cfg1 = make_config(
+        {
+            "pretrain": {
+                "image_size": SIZE,
+                "num_epochs": 1,
+                "batch_size": 2,
+                "log_step_of_batchs": 2,
+            }
+        }
+    )
+    ckpt = str(tmp_path / "ckpt")
+    run_pretrain(
+        cfg1,
+        _batches(2),
+        val_batches_fn=lambda: _batches(1, seed=9),
+        steps_per_epoch=2,
+        checkpoint_dir=ckpt,
+    )
+    meta = json.load(open(tmp_path / "ckpt" / "best_acc.json"))
+    assert meta["step"] == 2 and 0.0 <= meta["best_acc"] <= 1.0
+    # pretend history recorded a far better val than anything a resumed
+    # 2-step run can reach; best/ must stay untouched
+    json.dump({"best_acc": 2.0, "step": 2},
+              open(tmp_path / "ckpt" / "best_acc.json", "w"))
+    from tpgan_tpu.train.checkpoint import latest_step
+
+    best_before = latest_step(str(tmp_path / "ckpt" / "best"))
+    cfg2 = make_config(
+        {
+            "pretrain": {
+                "image_size": SIZE,
+                "num_epochs": 2,
+                "batch_size": 2,
+                "log_step_of_batchs": 2,
+            }
+        }
+    )
+    run_pretrain(
+        cfg2,
+        _batches(10),
+        val_batches_fn=lambda: _batches(1, seed=9),
+        steps_per_epoch=2,
+        checkpoint_dir=ckpt,
+        resume=True,
+    )
+    assert latest_step(str(tmp_path / "ckpt" / "best")) == best_before
+    assert json.load(open(tmp_path / "ckpt" / "best_acc.json"))[
+        "best_acc"
+    ] == 2.0

@@ -24,6 +24,8 @@ What changes and why:
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
 import flax.struct
@@ -237,7 +239,17 @@ def run_pretrain(
         )
     eval_step = jax.jit(make_eval_step(cfg, model))
 
+    # Best-model tracking must survive resume: the bar is persisted in a
+    # sidecar JSON next to ``best/`` so a resumed run cannot overwrite a
+    # better historical checkpoint with its first (possibly worse) val.
     best_acc = -1.0
+    best_meta = (
+        os.path.join(checkpoint_dir, "best_acc.json") if checkpoint_dir else None
+    )
+    if resume and best_meta and os.path.exists(best_meta):
+        with open(best_meta) as f:
+            best_acc = float(json.load(f)["best_acc"])
+        print(f"[pretrain] best-model bar restored: val_accuracy {best_acc:.4f}")
     step = start_step
     for epoch in range(start_step // max(steps_per_epoch, 1),
                        cfg.pretrain.num_epochs):
@@ -274,6 +286,10 @@ def run_pretrain(
                     if checkpoint_dir and val_acc > best_acc:
                         best_acc = val_acc
                         save_checkpoint(checkpoint_dir + "/best", step, state)
+                        with open(best_meta, "w") as f:
+                            json.dump(
+                                {"best_acc": best_acc, "step": step}, f
+                            )
 
         if checkpoint_dir:
             save_checkpoint(checkpoint_dir, step, state)
