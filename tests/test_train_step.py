@@ -192,3 +192,57 @@ def test_train_step_decodes_uint8_batches():
     assert int(state2.step) == 1
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_grad_accum_step_matches_structure_and_learns():
+    """train.grad_accum_steps=2: the jitted step scans two microbatches,
+    averages grads, and performs ONE optimizer update per network — the
+    metrics keys, state structure, and descent behaviour match the plain
+    step. (TPU rationale: critic/GP activation peak scales with the
+    microbatch, docs/BENCHMARKS.md HBM wall.)"""
+    cfg = make_config({**SMALL, "train": {"grad_accum_steps": 2}})
+    state, gen, disc, g_tx, d_tx = create_gan_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(
+        make_gan_train_step(cfg, gen, disc, g_tx, d_tx), donate_argnums=0
+    )
+    plain_cfg = make_config(SMALL)
+    plain = jax.jit(
+        make_gan_train_step(plain_cfg, gen, disc, g_tx, d_tx),
+        donate_argnums=0,
+    )
+
+    rng = np.random.RandomState(0)
+    batch = _rand_batch(rng, b=4)  # 2 microbatches of 2
+    g_before = np.asarray(
+        state.g_params["global_pathway"]["conv0_conv"]["conv"]["kernel"]
+    )
+
+    state_p, m_plain = plain(
+        jax.tree.map(jnp.copy, state), batch, jax.random.PRNGKey(1)
+    )
+    state_a, m_accum = step(state, batch, jax.random.PRNGKey(1))
+
+    assert int(state_a.step) == 1
+    assert set(m_accum) == set(m_plain)
+    for k, v in m_accum.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    assert float(m_accum["d_gradient_penalty"]) > 0.0
+    # both networks moved, and the accumulated update is the same order
+    # of magnitude as the plain full-batch update (same Adam lr)
+    g_after_a = np.asarray(
+        state_a.g_params["global_pathway"]["conv0_conv"]["conv"]["kernel"]
+    )
+    g_after_p = np.asarray(
+        state_p.g_params["global_pathway"]["conv0_conv"]["conv"]["kernel"]
+    )
+    assert not np.allclose(g_after_a, g_before)
+    da = np.abs(g_after_a - g_before).mean()
+    dp = np.abs(g_after_p - g_before).mean()
+    assert 0.2 < da / dp < 5.0
+
+    # batch not divisible by accum -> clear trace-time error
+    import pytest
+
+    with pytest.raises(ValueError, match="grad_accum_steps"):
+        step(state_a, _rand_batch(np.random.RandomState(1), b=3),
+             jax.random.PRNGKey(2))

@@ -95,6 +95,11 @@ class TrainConfig:
     remat: bool = False  # rematerialise the G forward in backward passes
     # (jax.checkpoint): trades recompute FLOPs for HBM, enabling larger
     # per-chip batches
+    grad_accum_steps: int = 1  # split each batch into this many
+    # sequential microbatches inside the jitted step (lax.scan) and
+    # average the grads before each optimizer update — the critic/GP
+    # intermediates (the HBM wall past b=128, docs/BENCHMARKS.md) then
+    # scale with the microbatch, not the batch
 
 
 @dataclass(frozen=True)

@@ -195,37 +195,32 @@ def make_gan_train_step(
         # the per-chip batch grow past the activation-memory wall
         g_forward = jax.checkpoint(g_forward)
 
-    def train_step(
-        state: GANTrainState, batch: Batch, rng: jax.Array
-    ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
-        batch = decode_u8_batch(batch)
-        b = batch["img"].shape[0]
-        z_rng, gp_rng, drop_rng, drop_rng2 = jax.random.split(rng, 4)
-        z = jax.random.normal(z_rng, (b, zdim), jnp.float32)
+    def d_phase(g_params, g_stats_in, d_params, d_base_stats,
+                batch: Batch, z, gp_rng, drop_rng):
+        """Critic phase on one (micro)batch: stop-gradient G forward +
+        WGAN-GP critic loss and its grads w.r.t. ``d_params``. Pure in
+        all inputs so it serves both the plain step and the
+        grad-accumulation ``lax.scan`` body."""
         real = batch["img_frontal"]
-
-        # ---------------- critic update (WGAN-GP) ----------------
-        g_out_d, g_stats = g_forward(
-            state.g_params, state.g_batch_stats, batch, z, drop_rng
-        )
+        g_out_d, g_stats = g_forward(g_params, g_stats_in, batch, z, drop_rng)
         fake_for_d = jax.lax.stop_gradient(g_out_d.img128_fake)
 
-        def d_loss_fn(d_params):
+        def d_loss_fn(d_params_):
             # train-mode critic; running stats persist from the
             # real-images pass only (the fake/GP passes normalise with
             # their own batch stats but don't advance the running ones —
             # output-equivalent to torch's sequential updates)
             def critic(x, stats, update=False):
                 out, mutated = disc.apply(
-                    {"params": d_params, "batch_stats": stats},
+                    {"params": d_params_, "batch_stats": stats},
                     x, train=True, mutable=["batch_stats"],
                 )
                 return (out, dict(mutated.get("batch_stats", {}))) if update else out
 
-            real_scores, d_stats = critic(real, state.d_batch_stats, update=True)
-            fake_scores = critic(fake_for_d, state.d_batch_stats)
+            real_scores, d_stats = critic(real, d_base_stats, update=True)
+            fake_scores = critic(fake_for_d, d_base_stats)
             gp = gradient_penalty(
-                lambda x: critic(x, state.d_batch_stats), real, fake_for_d, gp_rng
+                lambda x: critic(x, d_base_stats), real, fake_for_d, gp_rng
             )
             w_loss = discriminator_loss(real_scores, fake_scores)
             loss = w_loss + loss_cfg.weight_gradient_penalty * gp
@@ -238,20 +233,23 @@ def make_gan_train_step(
 
         (d_loss, (d_aux, d_stats)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True
-        )(state.d_params)
-        d_updates, d_opt_state = d_tx.update(
-            d_grads, state.d_opt_state, state.d_params
-        )
-        d_params = optax.apply_updates(state.d_params, d_updates)
+        )(d_params)
+        return d_loss, d_aux, d_stats, d_grads, g_stats
 
-        # ---------------- generator update ----------------
+    def g_phase(g_params, g_stats_in, d_params, d_stats,
+                batch: Batch, z, drop_rng):
+        """Generator phase on one (micro)batch against the (already
+        updated) critic: all weighted loss terms and grads w.r.t.
+        ``g_params``."""
         fused_frontal = fuse_parts(
             batch["left_eye_frontal"], batch["right_eye_frontal"],
             batch["nose_frontal"], batch["mouth_frontal"],
         )
 
-        def g_loss_fn(g_params):
-            out, new_g_stats = g_forward(g_params, g_stats, batch, z, drop_rng2)
+        def g_loss_fn(g_params_):
+            out, new_g_stats = g_forward(
+                g_params_, g_stats_in, batch, z, drop_rng
+            )
             fake_scores = disc.apply(
                 {"params": d_params, "batch_stats": d_stats},
                 out.img128_fake, train=True, mutable=["batch_stats"],
@@ -273,7 +271,31 @@ def make_gan_train_step(
 
         (g_loss, (g_comps, g_stats_new)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True
-        )(state.g_params)
+        )(g_params)
+        return g_loss, g_comps, g_stats_new, g_grads
+
+    def train_step(
+        state: GANTrainState, batch: Batch, rng: jax.Array
+    ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+        batch = decode_u8_batch(batch)
+        b = batch["img"].shape[0]
+        z_rng, gp_rng, drop_rng, drop_rng2 = jax.random.split(rng, 4)
+        z = jax.random.normal(z_rng, (b, zdim), jnp.float32)
+
+        # ---------------- critic update (WGAN-GP) ----------------
+        d_loss, d_aux, d_stats, d_grads, g_stats = d_phase(
+            state.g_params, state.g_batch_stats, state.d_params,
+            state.d_batch_stats, batch, z, gp_rng, drop_rng,
+        )
+        d_updates, d_opt_state = d_tx.update(
+            d_grads, state.d_opt_state, state.d_params
+        )
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---------------- generator update ----------------
+        g_loss, g_comps, g_stats_new, g_grads = g_phase(
+            state.g_params, g_stats, d_params, d_stats, batch, z, drop_rng2
+        )
         g_updates, g_opt_state = g_tx.update(
             g_grads, state.g_opt_state, state.g_params
         )
@@ -292,7 +314,117 @@ def make_gan_train_step(
         )
         return new_state, metrics
 
-    return train_step
+    accum = max(int(getattr(cfg.train, "grad_accum_steps", 1) or 1), 1)
+    if accum == 1:
+        return train_step
+
+    def accum_train_step(
+        state: GANTrainState, batch: Batch, rng: jax.Array
+    ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+        """Grad-accumulation variant: the batch is split into ``accum``
+        sequential microbatches inside the jitted step (lax.scan); grads
+        are averaged before each optimizer update, so the critic/GP
+        activation peak — the per-chip HBM wall past b=128
+        (docs/BENCHMARKS.md) — scales with the microbatch while the
+        optimizer sees the full-batch gradient. Each microbatch draws its
+        own z/GP/dropout randomness; BatchNorm running stats (when
+        enabled) advance sequentially through the scan, exactly like
+        torch-style sequential microbatching."""
+        batch = decode_u8_batch(batch)
+        b = batch["img"].shape[0]
+        if b % accum:
+            raise ValueError(
+                f"train.grad_accum_steps={accum} must divide the batch "
+                f"size {b}"
+            )
+        micro = b // accum
+        mbatch = {
+            k: v.reshape((accum, micro) + v.shape[1:])
+            for k, v in batch.items()
+        }
+        z_rng, gp_rng, drop_rng, drop_rng2 = jax.random.split(rng, 4)
+        z = jax.random.normal(z_rng, (accum, micro, zdim), jnp.float32)
+        gp_rngs = jax.random.split(gp_rng, accum)
+        d1_rngs = jax.random.split(drop_rng, accum)
+        d2_rngs = jax.random.split(drop_rng2, accum)
+
+        # ---------------- critic update (WGAN-GP) ----------------
+        zero_like_f32 = lambda tree: jax.tree.map(
+            lambda x: jnp.zeros(x.shape, jnp.float32), tree
+        )
+
+        def d_body(carry, inp):
+            g_stats_c, d_stats_c, grads_acc = carry
+            mb, z_i, gp_i, dr_i = inp
+            d_loss, d_aux, d_stats_c, d_grads, g_stats_c = d_phase(
+                state.g_params, g_stats_c, state.d_params, d_stats_c,
+                mb, z_i, gp_i, dr_i,
+            )
+            grads_acc = jax.tree.map(
+                lambda a, g: a + g.astype(a.dtype), grads_acc, d_grads
+            )
+            return (g_stats_c, d_stats_c, grads_acc), (d_loss, d_aux)
+
+        (g_stats, d_stats, d_grads_sum), (d_losses, d_auxes) = jax.lax.scan(
+            d_body,
+            (state.g_batch_stats, state.d_batch_stats,
+             zero_like_f32(state.d_params)),
+            (mbatch, z, gp_rngs, d1_rngs),
+        )
+        d_grads = jax.tree.map(
+            lambda a, p: (a / accum).astype(p.dtype),
+            d_grads_sum, state.d_params,
+        )
+        d_updates, d_opt_state = d_tx.update(
+            d_grads, state.d_opt_state, state.d_params
+        )
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---------------- generator update ----------------
+        def g_body(carry, inp):
+            g_stats_c, grads_acc = carry
+            mb, z_i, dr_i = inp
+            g_loss, g_comps, g_stats_c, g_grads = g_phase(
+                state.g_params, g_stats_c, d_params, d_stats, mb, z_i, dr_i
+            )
+            grads_acc = jax.tree.map(
+                lambda a, g: a + g.astype(a.dtype), grads_acc, g_grads
+            )
+            return (g_stats_c, grads_acc), (g_loss, g_comps)
+
+        (g_stats_new, g_grads_sum), (g_losses, g_compses) = jax.lax.scan(
+            g_body,
+            (g_stats, zero_like_f32(state.g_params)),
+            (mbatch, z, d2_rngs),
+        )
+        g_grads = jax.tree.map(
+            lambda a, p: (a / accum).astype(p.dtype),
+            g_grads_sum, state.g_params,
+        )
+        g_updates, g_opt_state = g_tx.update(
+            g_grads, state.g_opt_state, state.g_params
+        )
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        mean = lambda t: jax.tree.map(lambda x: jnp.mean(x, axis=0), t)
+        metrics = {
+            "d_loss": jnp.mean(d_losses),
+            "g_loss": jnp.mean(g_losses),
+            **mean(d_auxes),
+        }
+        metrics.update({f"g_{k}": v for k, v in mean(g_compses).items()})
+        new_state = GANTrainState(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+            g_batch_stats=g_stats_new,
+            d_batch_stats=d_stats,
+        )
+        return new_state, metrics
+
+    return accum_train_step
 
 
 def make_multi_step(train_step, num_steps: int):
