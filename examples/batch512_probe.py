@@ -9,9 +9,15 @@ wins, bench.py's batch_sizes sweep should gain 512.
 """
 
 import json
+import os
 import sys
 
 import jax
+
+# bench.py lives at the repo root, one level up from examples/ —
+# running `python examples/batch512_probe.py` puts examples/ (not the
+# root) on sys.path, so add the root explicitly
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

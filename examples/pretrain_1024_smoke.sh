@@ -21,7 +21,12 @@ EOF
 fi
 
 mkdir -p runs/pretrain1024
-time python -m tpgan_tpu.cli pretrain --checkpoint runs/pretrain1024/ckpt \
+# --device-data: the per-step H2D feed hits the tunnel client's
+# device_put buffer leak (the first attempt at this smoke grew to
+# 130 GB host RSS and was OOM-killed; docs/BENCHMARKS.md) — per-bucket
+# HBM residency caps steady-state H2D at the index vector
+time python -m tpgan_tpu.cli pretrain --device-data \
+    --checkpoint runs/pretrain1024/ckpt \
     --set pretrain.data_root_dir=data_synth/pretrain1024 \
     --set "pretrain.image_buckets=(256,512,1024)" \
     --set pretrain.batch_size=16 \

@@ -175,3 +175,42 @@ def test_cli_device_probe_fails_fast(monkeypatch, capsys):
         pass
     else:  # some codepaths may surface the missing list differently
         pass
+
+
+def test_cli_pretrain_device_data_end_to_end(tmp_path):
+    """cmd_pretrain --device-data over a multi-bucket synthetic layout:
+    per-bucket uint8 stacks land on device once, training/validation
+    batches are gathered on device (the fix for the remoted-PJRT
+    device_put leak that OOM-killed the first 1024-bucket smoke)."""
+    from PIL import Image
+
+    from tpgan_tpu import cli
+
+    root = tmp_path / "celeba"
+    (root / "imgs").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    lines = ["8", "header"]
+    for i in range(8):
+        # alternate source sizes so both buckets are populated
+        h, w = (50, 40) if i % 2 else (100, 90)
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / "imgs" / f"{i:06d}.jpg")
+        lines.append(f"{i:06d}.jpg 10 12 30 12 20 25 15 35 25 35")
+    (root / "list_landmarks_celeba.txt").write_text("\n".join(lines) + "\n")
+
+    rc = cli.main([
+        "pretrain", "--device-data",
+        "--checkpoint", str(tmp_path / "ck"),
+        "--set", f"pretrain.data_root_dir={root}",
+        "--set", f"pretrain.log_root_dir={tmp_path / 'logs'}",
+        "--set", "pretrain.image_buckets=(64,128)",
+        "--set", "pretrain.batch_size=2",
+        "--set", "pretrain.num_epochs=1",
+        "--set", "pretrain.log_step_of_batchs=2",
+        "--set", "pretrain.train_data_ratio=0.5",
+        "--set", "pretrain.validation_data_ratio=0.25",
+    ])
+    assert rc == 0
+    from tpgan_tpu.train.checkpoint import latest_step
+
+    assert latest_step(str(tmp_path / "ck")) is not None

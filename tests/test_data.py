@@ -397,3 +397,90 @@ def test_celeba_multi_bucket_1024_routing(tmp_path):
         assert imgs.shape[1] == imgs.shape[2] and imgs.shape[1] in got
         got[imgs.shape[1]] += imgs.shape[0]
     assert got == {256: 2, 512: 1, 1024: 2}
+
+
+def test_device_resident_pretrain_buckets():
+    """load_pretrain_to_device + device iterators: per-bucket uint8 HBM
+    residency for the landmark-pretrain protocol (the pretrain twin of
+    the GAN path's device-resident mode — the per-step H2D feed leaks
+    the full buffer per put on remoted PJRT clients)."""
+    import jax
+
+    from tpgan_tpu.data.packing import (
+        device_bucketed_batch_iterator,
+        device_bucketed_eval_batches,
+        load_pretrain_to_device,
+    )
+
+    rng = np.random.RandomState(0)
+
+    class Source:
+        sizes = [32, 32, 32, 64, 64, 32, None]
+
+        def __len__(self):
+            return len(self.sizes)
+
+        def __getitem__(self, i):
+            s = self.sizes[i]
+            if s is None:  # oversize collate drop
+                return None
+            img = rng.rand(s, s, 3).astype(np.float32)
+            return img, np.full((8,), float(i), np.float32)
+
+    groups = load_pretrain_to_device(Source(), range(7))
+    assert set(groups) == {(32, 32, 3), (64, 64, 3)}
+    assert int(groups[(32, 32, 3)]["img"].shape[0]) == 4
+    assert int(groups[(64, 64, 3)]["img"].shape[0]) == 2
+    for g in groups.values():
+        assert str(g["img"].dtype) == "uint8"
+        assert str(g["label"].dtype) == "float32"
+
+    it = device_bucketed_batch_iterator(groups, batch_size=3, seed=0)
+    seen_shapes = set()
+    for _ in range(8):
+        img, lbl = next(it)
+        assert isinstance(img, jax.Array) and img.shape[0] == 3
+        assert lbl.shape == (3, 8)
+        seen_shapes.add(tuple(img.shape[1:]))
+        # every gathered label indexes a real source item of that bucket
+        want = {32: (0, 1, 2, 5), 64: (3, 4)}[img.shape[1]]
+        assert all(int(v) in want for v in np.asarray(lbl)[:, 0])
+    # both buckets get sampled (probability ~1 - (2/3)^8 per bucket)
+    assert seen_shapes == {(32, 32, 3), (64, 64, 3)}
+
+    # eval pass: every item exactly once, partial final batches kept
+    counts = {}
+    ids = []
+    for img, lbl in device_bucketed_eval_batches(groups, batch_size=3):
+        counts[img.shape[1]] = counts.get(img.shape[1], 0) + img.shape[0]
+        ids.extend(int(v) for v in np.asarray(lbl)[:, 0])
+    assert counts == {32: 4, 64: 2}
+    assert sorted(ids) == [0, 1, 2, 3, 4, 5]
+
+
+def test_pretrain_step_uint8_decode_parity():
+    """The jitted pretrain step decodes uint8 device-resident batches to
+    the identical program the float path runs: same loss/accuracy when
+    float == uint8 / 255 exactly."""
+    import jax
+
+    from tpgan_tpu.config import make_config
+    from tpgan_tpu.train.pretrain import create_pretrain_state, make_eval_step
+
+    cfg = make_config({"pretrain": {"image_size": 64, "batch_size": 2}})
+    state, model, _tx = create_pretrain_state(cfg, jax.random.PRNGKey(0))
+    eval_step = jax.jit(make_eval_step(cfg, model))
+
+    rng = np.random.RandomState(1)
+    u8 = rng.randint(0, 256, size=(2, 64, 64, 3)).astype(np.uint8)
+    labels = (rng.rand(2, 8) * 64).astype(np.float32)
+    k = jax.random.PRNGKey(2)
+    m_u8 = eval_step(state, jnp.asarray(u8), jnp.asarray(labels), k)
+    m_f = eval_step(
+        state, jnp.asarray(u8.astype(np.float32) / 255.0),
+        jnp.asarray(labels), k,
+    )
+    for key in m_u8:
+        np.testing.assert_allclose(
+            float(m_u8[key]), float(m_f[key]), rtol=1e-6
+        )

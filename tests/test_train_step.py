@@ -246,3 +246,94 @@ def test_grad_accum_step_matches_structure_and_learns():
     with pytest.raises(ValueError, match="grad_accum_steps"):
         step(state_a, _rand_batch(np.random.RandomState(1), b=3),
              jax.random.PRNGKey(2))
+
+
+def test_ema_tracking_and_eval_params():
+    """train.ema_decay>0: the jitted step lerps an EMA copy of the G
+    weights (standard GAN quality lever); eval_g_params prefers it.
+    With decay=0 the state carries no EMA leaves and eval_g_params
+    falls back to the live weights."""
+    from tpgan_tpu.train.gan_trainer import eval_g_params
+
+    cfg = make_config({**SMALL, "train": {"ema_decay": 0.9}})
+    state, gen, disc, g_tx, d_tx = create_gan_state(cfg, jax.random.PRNGKey(0))
+    # EMA initialized to a copy of the live params
+    ref = state.g_params["global_pathway"]["conv0_conv"]["conv"]["kernel"]
+    ema0 = state.g_ema_params["global_pathway"]["conv0_conv"]["conv"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(ema0), np.asarray(ref))
+
+    step = jax.jit(
+        make_gan_train_step(cfg, gen, disc, g_tx, d_tx), donate_argnums=0
+    )
+    batch = _rand_batch(np.random.RandomState(0))
+    prev_params = jax.tree.map(jnp.copy, state.g_params)
+    state1, _ = step(state, batch, jax.random.PRNGKey(1))
+
+    # one step from ema==prev_params: ema1 = 0.9*prev + 0.1*new, exactly
+    want = jax.tree.map(
+        lambda p, n: 0.9 * p + 0.1 * n, prev_params, state1.g_params
+    )
+    got = state1.g_ema_params
+    for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        # atol for denormal-scale leaves: XLA fuses the lerp into an FMA
+        # whose rounding differs from the host computation at ~1e-13
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-9
+        )
+
+    # eval_g_params: EMA when tracked, live otherwise
+    assert eval_g_params(state1) is state1.g_ema_params
+    cfg0 = make_config(SMALL)
+    state0, *_ = create_gan_state(cfg0, jax.random.PRNGKey(0))
+    assert state0.g_ema_params == {}
+    assert eval_g_params(state0) is state0.g_params
+
+
+def test_ema_updates_in_grad_accum_step():
+    """EMA tracking composes with grad accumulation: the microbatched
+    step updates the EMA copy from the post-update weights too."""
+    cfg = make_config(
+        {**SMALL, "train": {"ema_decay": 0.5, "grad_accum_steps": 2}}
+    )
+    state, gen, disc, g_tx, d_tx = create_gan_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(
+        make_gan_train_step(cfg, gen, disc, g_tx, d_tx), donate_argnums=0
+    )
+    batch = _rand_batch(np.random.RandomState(0))
+    prev_params = jax.tree.map(jnp.copy, state.g_params)
+    state1, _ = step(state, batch, jax.random.PRNGKey(1))
+    want = jax.tree.map(
+        lambda p, n: 0.5 * p + 0.5 * n, prev_params, state1.g_params
+    )
+    for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(state1.g_ema_params)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-9
+        )
+
+
+def test_ema_state_checkpoint_roundtrip(tmp_path):
+    """A state saved without EMA (ema_decay=0, empty subtree) restores
+    into a fresh ema-off template — the old-checkpoint compat contract;
+    and an EMA-tracking state round-trips its EMA leaves."""
+    from tpgan_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    cfg0 = make_config(SMALL)
+    state0, *_ = create_gan_state(cfg0, jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path / "off"), 1, state0)
+    tmpl0, *_ = create_gan_state(cfg0, jax.random.PRNGKey(1))
+    restored0 = restore_checkpoint(str(tmp_path / "off"), tmpl0)
+    np.testing.assert_array_equal(
+        np.asarray(restored0.g_params["global_pathway"]["conv0_conv"]["conv"]["kernel"]),
+        np.asarray(state0.g_params["global_pathway"]["conv0_conv"]["conv"]["kernel"]),
+    )
+
+    cfg1 = make_config({**SMALL, "train": {"ema_decay": 0.99}})
+    state1, *_ = create_gan_state(cfg1, jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path / "on"), 1, state1)
+    tmpl1, *_ = create_gan_state(cfg1, jax.random.PRNGKey(1))
+    restored1 = restore_checkpoint(str(tmp_path / "on"), tmpl1)
+    for a, b in zip(
+        jax.tree.leaves(state1.g_ema_params),
+        jax.tree.leaves(restored1.g_ema_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

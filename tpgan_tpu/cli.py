@@ -48,21 +48,42 @@ def cmd_pretrain(args) -> int:
     train_idx, val_idx, _ = ds.split(p.train_data_ratio, p.validation_data_ratio)
     steps_per_epoch = max(len(train_idx) // p.batch_size, 1)
 
-    make_iter = batch_iterator
-    if p.image_buckets:
-        from tpgan_tpu.data.pipeline import bucketed_batch_iterator
-
-        make_iter = bucketed_batch_iterator
-
-    train_it = make_iter(
-        ds, p.batch_size, shuffle=True, indices=train_idx, epochs=None
-    )
-
-    def val_batches():
-        return make_iter(
-            ds, p.batch_size, shuffle=False, indices=val_idx, epochs=1,
-            drop_last=False,
+    if getattr(args, "device_data", False):
+        # whole dataset HBM-resident (per-bucket uint8 stacks), batches
+        # gathered on device by index — the pretrain twin of
+        # `train --device-data`, and the fix for the remoted-PJRT
+        # per-device_put host buffer leak that OOM-killed the 1024-bucket
+        # smoke (data/packing.py:load_pretrain_to_device)
+        from tpgan_tpu.data.packing import (
+            device_bucketed_batch_iterator,
+            device_bucketed_eval_batches,
+            load_pretrain_to_device,
         )
+
+        train_groups = load_pretrain_to_device(ds, train_idx)
+        val_groups = load_pretrain_to_device(ds, val_idx) if val_idx else {}
+        train_it = device_bucketed_batch_iterator(
+            train_groups, p.batch_size, seed=cfg.train.seed
+        )
+
+        def val_batches():
+            return device_bucketed_eval_batches(val_groups, p.batch_size)
+    else:
+        make_iter = batch_iterator
+        if p.image_buckets:
+            from tpgan_tpu.data.pipeline import bucketed_batch_iterator
+
+            make_iter = bucketed_batch_iterator
+
+        train_it = make_iter(
+            ds, p.batch_size, shuffle=True, indices=train_idx, epochs=None
+        )
+
+        def val_batches():
+            return make_iter(
+                ds, p.batch_size, shuffle=False, indices=val_idx, epochs=1,
+                drop_last=False,
+            )
 
     writer = MetricWriter(os.path.join(p.log_root_dir, p.model_name))
     run_pretrain(
@@ -308,7 +329,11 @@ def cmd_eval(args) -> int:
     from tpgan_tpu.data.pipeline import batch_iterator
     from tpgan_tpu.evaluate import psnr, ssim
     from tpgan_tpu.train.checkpoint import restore_checkpoint
-    from tpgan_tpu.train.gan_trainer import create_gan_state, make_synthesize_fn
+    from tpgan_tpu.train.gan_trainer import (
+        create_gan_state,
+        eval_g_params,
+        make_synthesize_fn,
+    )
 
     cfg = _build_config(args)
     with open(cfg.train.img_list if not args.img_list else args.img_list) as f:
@@ -318,6 +343,7 @@ def cmd_eval(args) -> int:
     state, gen, *_ = create_gan_state(cfg, jax.random.PRNGKey(0))
     if args.checkpoint:
         state = restore_checkpoint(args.checkpoint, state)
+    g_eval_params = eval_g_params(state)
     synthesize = jax.jit(make_synthesize_fn(cfg, gen))
 
     frontalize = det_vars = None
@@ -380,10 +406,10 @@ def cmd_eval(args) -> int:
                     (jnp.clip(jb["img"], -1, 1) + 1.0) * 127.5
                 ).astype(jnp.uint8)
                 fake, _lm5, _scores = frontalize(
-                    state.g_params, det_vars, raw, z
+                    g_eval_params, det_vars, raw, z
                 )
             else:
-                fake = synthesize(state.g_params, jb, z)
+                fake = synthesize(g_eval_params, jb, z)
             psnrs[zi].append(np.asarray(psnr(fake, gt, aggregate=False)))
             ssims[zi].append(np.asarray(ssim(fake, gt, aggregate=False)))
             if zi == 0 and embed is not None:
@@ -478,7 +504,11 @@ def cmd_synthesize(args) -> int:
 
     from tpgan_tpu.data.multipie import TestDataset
     from tpgan_tpu.train.checkpoint import restore_checkpoint
-    from tpgan_tpu.train.gan_trainer import create_gan_state, make_synthesize_fn
+    from tpgan_tpu.train.gan_trainer import (
+        create_gan_state,
+        eval_g_params,
+        make_synthesize_fn,
+    )
 
     cfg = _build_config(args)
     with open(args.landmarks) as f:
@@ -492,7 +522,7 @@ def cmd_synthesize(args) -> int:
     synthesize = jax.jit(make_synthesize_fn(cfg, gen))
     batch = {k: jnp.asarray(v)[None] for k, v in item.items()}
     z = jax.random.normal(jax.random.PRNGKey(args.seed), (1, cfg.G.zdim))
-    out = np.asarray(synthesize(state.g_params, batch, z))[0]
+    out = np.asarray(synthesize(eval_g_params(state), batch, z))[0]
 
     from PIL import Image
 
@@ -539,7 +569,7 @@ def cmd_frontalize(args) -> int:
         with Image.open(path) as im:
             arr = np.asarray(im.convert("RGB"), np.uint8)
         fake, lm5, scores = frontalize(
-            state.g_params, det_vars, jnp.asarray(arr)[None], z
+            eval_g_params(state), det_vars, jnp.asarray(arr)[None], z
         )
         scores = np.asarray(scores)[0]
         low = [f"{n}={s:.2f}" for n, s in zip(part_names, scores)
@@ -577,6 +607,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--resume", action="store_true",
                    help="restore the latest checkpoint and continue the "
                         "epoch schedule")
+    p.add_argument("--device-data", action="store_true",
+                   help="load the whole dataset into device memory "
+                        "(per-bucket uint8 stacks) and gather batches on "
+                        "device — ~zero steady-state H2D traffic")
 
     p = sub.add_parser("train", help="TP-GAN WGAN-GP training")
     common(p)

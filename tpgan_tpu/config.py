@@ -95,6 +95,10 @@ class TrainConfig:
     remat: bool = False  # rematerialise the G forward in backward passes
     # (jax.checkpoint): trades recompute FLOPs for HBM, enabling larger
     # per-chip batches
+    ema_decay: float = 0.0  # when > 0, keep an exponential moving
+    # average of the generator weights updated inside the jitted step
+    # (pure pytree lerp, fuses with the optimizer update); inference and
+    # eval prefer the EMA weights — the standard GAN quality lever
     grad_accum_steps: int = 1  # split each batch into this many
     # sequential microbatches inside the jitted step (lax.scan) and
     # average the grads before each optimizer update — the critic/GP

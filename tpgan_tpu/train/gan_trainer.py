@@ -54,6 +54,16 @@ class GANTrainState(flax.struct.PyTreeNode):
     # the reference GAN config default, config.py:62,68)
     g_batch_stats: Any = flax.struct.field(default_factory=dict)
     d_batch_stats: Any = flax.struct.field(default_factory=dict)
+    # EMA of the generator weights (empty dict when train.ema_decay=0;
+    # empty subtrees carry no leaves, so old checkpoints restore cleanly)
+    g_ema_params: Any = flax.struct.field(default_factory=dict)
+
+
+def eval_g_params(state: "GANTrainState"):
+    """The generator weights inference/eval should use: the EMA copy
+    when one is being tracked (train.ema_decay > 0), else the live
+    weights."""
+    return state.g_ema_params if state.g_ema_params else state.g_params
 
 
 def build_models(cfg: Config, dtype=None) -> Tuple[Generator, Discriminator]:
@@ -135,6 +145,11 @@ def create_gan_state(
         d_opt_state=d_tx.init(d_vars["params"]),
         g_batch_stats=dict(g_vars.get("batch_stats", {})),
         d_batch_stats=dict(d_vars.get("batch_stats", {})),
+        g_ema_params=(
+            jax.tree.map(jnp.copy, g_vars["params"])
+            if float(getattr(cfg.train, "ema_decay", 0.0) or 0.0) > 0
+            else {}
+        ),
     )
     return state, gen, disc, g_tx, d_tx
 
@@ -166,6 +181,17 @@ def make_gan_train_step(
     via ``jax.jit(step, donate_argnums=0)``."""
     loss_cfg = cfg.loss
     zdim = cfg.G.zdim
+    ema_decay = float(getattr(cfg.train, "ema_decay", 0.0) or 0.0)
+
+    def ema_update(ema, new_params):
+        """Lerp the EMA weights toward the freshly updated generator
+        (no-op pytree when EMA tracking is off)."""
+        if ema_decay <= 0.0:
+            return ema
+        return jax.tree.map(
+            lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay),
+            ema, new_params,
+        )
     # Measured (v5e, b=128, same session): using the f32-emitting conv
     # variant for the stop-gradient D-step G forward LOWERS whole-step
     # throughput (184 vs 206 imgs/s) — the mixed conv flavours defeat
@@ -311,6 +337,7 @@ def make_gan_train_step(
             d_opt_state=d_opt_state,
             g_batch_stats=g_stats_new,
             d_batch_stats=d_stats,
+            g_ema_params=ema_update(state.g_ema_params, g_params),
         )
         return new_state, metrics
 
@@ -421,6 +448,7 @@ def make_gan_train_step(
             d_opt_state=d_opt_state,
             g_batch_stats=g_stats_new,
             d_batch_stats=d_stats,
+            g_ema_params=ema_update(state.g_ema_params, g_params),
         )
         return new_state, metrics
 

@@ -124,6 +124,10 @@ def make_pretrain_step(
         # step function serves every size bucket (multi-bucket
         # pretraining: jax specialises one XLA program per bucket)
         size_hw = images.shape[1:3]
+        # device-resident batches arrive as raw uint8 (data/packing.py
+        # load_pretrain_to_device); decode to [0, 1] float on device
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
 
         def loss_fn(params):
             (loc, cls), mutated = model.apply(
@@ -167,6 +171,8 @@ def make_eval_step(cfg: Config, model: MobileNetV2):
     model = model.clone(accum_f32=True)  # no grads on the eval path
 
     def eval_step(state: PretrainState, images, labels, rng):
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
         loc, cls = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             images,
