@@ -214,3 +214,40 @@ def test_cli_pretrain_device_data_end_to_end(tmp_path):
     from tpgan_tpu.train.checkpoint import latest_step
 
     assert latest_step(str(tmp_path / "ck")) is not None
+
+
+def test_cli_export_fp32_and_int8(tmp_path):
+    """cmd_export: the serving deployable straight from the CLI — fp32
+    and int8-PTQ StableHLO artifacts that load back and run (params,
+    EMA-preferred, baked in; synthetic-protocol calibration)."""
+    from tpgan_tpu import cli
+    from tpgan_tpu.serving import load_synthesis
+
+    small = ["--set", "G.fm_multiplier=0.25",
+             "--set", "G.local_feature_layer_dim=16",
+             "--set", "compute_dtype=float32"]
+    out = tmp_path / "synthesis.stablehlo"
+    # dual-platform artifact: lowered for cpu AND tpu from the cpu
+    # backend (neither target needs to be attached at export time) —
+    # the portable build-on-CPU-host / serve-on-TPU deployable
+    rc = cli.main(["export", "--output", str(out), "--batch", "2",
+                   "--platforms", "cpu,tpu", *small])
+    assert rc == 0 and out.stat().st_size > 0
+
+    out8 = tmp_path / "synthesis_int8.stablehlo"
+    rc = cli.main(["export", "--output", str(out8), "--batch", "2",
+                   "--int8", "--calib-items", "4", *small])
+    assert rc == 0 and out8.stat().st_size > 0
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "img": rng.randn(2, 128, 128, 3).astype(np.float32),
+        "left_eye": rng.randn(2, 40, 40, 3).astype(np.float32),
+        "right_eye": rng.randn(2, 40, 40, 3).astype(np.float32),
+        "nose": rng.randn(2, 32, 40, 3).astype(np.float32),
+        "mouth": rng.randn(2, 32, 48, 3).astype(np.float32),
+    }
+    z = np.zeros((2, 64), np.float32)
+    for path in (out, out8):
+        got = np.asarray(load_synthesis(str(path))(batch, z))
+        assert got.shape == (2, 128, 128, 3) and np.isfinite(got).all()

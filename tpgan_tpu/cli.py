@@ -22,6 +22,17 @@ from typing import List, Optional
 
 import numpy as np
 
+# Honour an explicit JAX_PLATFORMS request: this host's sitecustomize
+# force-registers the tunneled-TPU plugin via jax.config, which SILENTLY
+# overrides the env var — `JAX_PLATFORMS=cpu cli export` would otherwise
+# run (and pin its artifact) on the TPU backend. The config value wins
+# over the env var, so mirror it back before any backend initialises
+# (same workaround as __graft_entry__.py / tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def _build_config(args):
     from tpgan_tpu.config import flat_override, make_config
@@ -58,16 +69,34 @@ def cmd_pretrain(args) -> int:
             device_bucketed_batch_iterator,
             device_bucketed_eval_batches,
             load_pretrain_to_device,
+            pixel_budget_batches,
         )
 
         train_groups = load_pretrain_to_device(ds, train_idx)
         val_groups = load_pretrain_to_device(ds, val_idx) if val_idx else {}
+        # multi-bucket: hold pixels/step constant instead of images/step
+        # (b=16 at 1024px needs 16x the activation HBM of b=16 at 256px)
+        # computed over the union of train+val shapes so a bucket that
+        # only appears in the val split still gets the scaled batch
+        batch_for = (
+            pixel_budget_batches({**val_groups, **train_groups},
+                                 p.batch_size)
+            if p.image_buckets else None
+        )
+        if batch_for:
+            steps_per_epoch = max(1, int(sum(
+                int(g["img"].shape[0]) / batch_for[k]
+                for k, g in train_groups.items()
+            )))
         train_it = device_bucketed_batch_iterator(
-            train_groups, p.batch_size, seed=cfg.train.seed
+            train_groups, p.batch_size, seed=cfg.train.seed,
+            batch_for=batch_for,
         )
 
         def val_batches():
-            return device_bucketed_eval_batches(val_groups, p.batch_size)
+            return device_bucketed_eval_batches(
+                val_groups, p.batch_size, batch_for=batch_for
+            )
     else:
         make_iter = batch_iterator
         if p.image_buckets:
@@ -532,6 +561,68 @@ def cmd_synthesize(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Serialise the synthesis function to a portable StableHLO artifact
+    (tpgan_tpu.serving.export_synthesis): the serving deployable a
+    binary loads WITHOUT Python tracing or any framework import
+    (tests/test_serving.py proves out-of-process consumption). Uses the
+    EMA generator weights when the checkpoint tracks them. ``--int8``
+    exports the PTQ graph, calibrated on packed-dataset batches
+    (``--calib-packed``) or the synthetic protocol."""
+    import jax
+
+    from tpgan_tpu.serving import export_synthesis
+    from tpgan_tpu.train.checkpoint import restore_checkpoint
+    from tpgan_tpu.train.gan_trainer import create_gan_state, eval_g_params
+
+    cfg = _build_config(args)
+    state, gen, *_ = create_gan_state(cfg, jax.random.PRNGKey(0))
+    if args.checkpoint:
+        state = restore_checkpoint(args.checkpoint, state)
+    params = eval_g_params(state)
+
+    scales = None
+    if args.int8:
+        from tpgan_tpu.ops.quant import calibrate_synthesis
+
+        keys = ("img", "left_eye", "right_eye", "nose", "mouth")
+        if args.calib_packed:
+            from tpgan_tpu.data.packing import PackedDataset
+
+            ds = PackedDataset(args.calib_packed)
+            idx = np.random.RandomState(args.seed).permutation(len(ds))
+            batches = []
+            for start in range(0, min(args.calib_items, len(ds)),
+                               args.batch):
+                items = [ds[int(i)] for i in idx[start : start + args.batch]]
+                batches.append(
+                    {k: np.stack([it[k] for it in items]) for k in keys}
+                )
+        else:
+            from tpgan_tpu.data.synthetic import synthetic_gan_batch
+
+            batches = [
+                {k: v for k, v in synthetic_gan_batch(
+                    args.batch, seed=s).items() if k in keys}
+                for s in range(max(args.calib_items // args.batch, 1))
+            ]
+        scales = calibrate_synthesis(cfg, gen, params, batches)
+
+    platforms = (
+        tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+        if args.platforms else None
+    )
+    export_synthesis(
+        cfg, gen, params, args.output, batch=args.batch,
+        quant_scales=scales, platforms=platforms,
+    )
+    print(f"wrote {args.output} "
+          f"({'int8 PTQ' if args.int8 else cfg.compute_dtype}, "
+          f"batch={args.batch}, platforms="
+          f"{','.join(platforms) if platforms else 'current backend'})")
+    return 0
+
+
 def cmd_frontalize(args) -> int:
     """Full-stack inference: raw image(s) -> landmark DETECTION (the
     pretrained MobileNetV2+SSD) -> patches -> Generator -> frontal face.
@@ -714,6 +805,27 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--output", default="frontal.png")
     p.add_argument("--seed", type=int, default=0)
 
+    p = sub.add_parser(
+        "export", help="serialise synthesis to a StableHLO serving artifact"
+    )
+    common(p)
+    p.add_argument("--output", required=True,
+                   help="output path for the serialized artifact")
+    p.add_argument("--batch", type=int, default=8,
+                   help="static batch size baked into the artifact")
+    p.add_argument("--int8", action="store_true",
+                   help="export the int8 PTQ graph (per-channel weights + "
+                        "calibrated activations; +35%% on the v5e MXU)")
+    p.add_argument("--calib-packed", default=None,
+                   help="packed dataset dir for int8 activation "
+                        "calibration (default: synthetic protocol)")
+    p.add_argument("--calib-items", type=int, default=64)
+    p.add_argument("--platforms", default=None,
+                   help="comma list of lowering targets to bake into the "
+                        "artifact (e.g. cpu,tpu); default: the current "
+                        "backend only")
+    p.add_argument("--seed", type=int, default=0)
+
     args = parser.parse_args(argv)
 
     # Chip-bound commands probe the accelerator with a bounded subprocess
@@ -736,7 +848,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             "eval": cmd_eval, "prepare-data": cmd_prepare_data,
             "synthesize": cmd_synthesize, "synth-data": cmd_synth_data,
             "train-embedder": cmd_train_embedder,
-            "frontalize": cmd_frontalize}[args.command](args)
+            "frontalize": cmd_frontalize,
+            "export": cmd_export}[args.command](args)
 
 
 if __name__ == "__main__":

@@ -34,14 +34,20 @@ def _example_inputs(cfg: Config, batch: int):
 
 def export_synthesis(
     cfg: Config, gen, g_params, path: str, batch: int = 8,
-    quant_scales=None,
+    quant_scales=None, platforms: Optional[Tuple[str, ...]] = None,
 ) -> None:
     """Serialise the synthesis function (params baked in) to ``path``.
 
     With ``quant_scales`` (from ``ops.quant.calibrate_synthesis``), the
     exported program is the int8 PTQ graph — weight quantisation folds
     into the artifact, so the serving binary runs int8 MXU convs with no
-    Python-side quantisation step."""
+    Python-side quantisation step.
+
+    ``platforms``: lowering targets baked into the artifact (e.g.
+    ``("cpu", "tpu")``). A StableHLO export is otherwise pinned to the
+    exporting backend — an artifact built next to the training chips
+    would refuse to load on a CPU canary host and vice versa; none of
+    the targets need to be attached at export time."""
     from jax import export as jexport
 
     if quant_scales is not None:
@@ -55,7 +61,9 @@ def export_synthesis(
     def fn(batch_in, z_in):
         return synthesize(g_params, batch_in, z_in)
 
-    exported = jexport.export(jax.jit(fn))(example, z)
+    exported = jexport.export(
+        jax.jit(fn), platforms=list(platforms) if platforms else None
+    )(example, z)
     with open(path, "wb") as f:
         f.write(exported.serialize())
 
