@@ -25,16 +25,20 @@ mkdir -p runs/pretrain1024
 # device_put buffer leak (the first attempt at this smoke grew to
 # 130 GB host RSS and was OOM-killed; docs/BENCHMARKS.md) — per-bucket
 # HBM residency caps steady-state H2D at the index vector
+# batch_size applies at the SMALLEST bucket; pixel-budget batching
+# scales it down by area per bucket (64 -> 16 -> 4), holding the
+# activation footprint constant (b=16 at the 1024 bucket exhausted the
+# 16 GB HBM on the first device-resident attempt)
 time python -m tpgan_tpu.cli pretrain --device-data \
     --checkpoint runs/pretrain1024/ckpt \
     --set pretrain.data_root_dir=data_synth/pretrain1024 \
     --set "pretrain.image_buckets=(256,512,1024)" \
-    --set pretrain.batch_size=16 \
+    --set pretrain.batch_size=64 \
     --set pretrain.train_data_ratio=0.85 \
     --set pretrain.validation_data_ratio=0.1 \
-    --set pretrain.log_step_of_batchs=400 \
+    --set pretrain.log_step_of_batchs=200 \
     --set pretrain.log_root_dir=runs/pretrain1024/logs \
-    --set pretrain.num_epochs=60
+    --set pretrain.num_epochs=20
 
 python examples/bucket_parity_eval.py \
     --checkpoint runs/pretrain1024/ckpt/best \

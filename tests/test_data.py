@@ -484,3 +484,52 @@ def test_pretrain_step_uint8_decode_parity():
         np.testing.assert_allclose(
             float(m_u8[key]), float(m_f[key]), rtol=1e-6
         )
+
+
+def test_pixel_budget_batches_and_weighted_sampling():
+    """pixel_budget_batches holds pixels/step constant across buckets;
+    the train iterator weights bucket picks by steps-per-epoch so the
+    per-image visit rate stays uniform; eval batches respect the
+    per-bucket sizes."""
+    import jax
+
+    from tpgan_tpu.data.packing import (
+        device_bucketed_batch_iterator,
+        device_bucketed_eval_batches,
+        load_pretrain_to_device,
+        pixel_budget_batches,
+    )
+
+    rng = np.random.RandomState(0)
+
+    class Source:
+        sizes = [16] * 8 + [32] * 4 + [64] * 2
+
+        def __len__(self):
+            return len(self.sizes)
+
+        def __getitem__(self, i):
+            s = self.sizes[i]
+            return (rng.rand(s, s, 3).astype(np.float32),
+                    np.full((8,), float(i), np.float32))
+
+    groups = load_pretrain_to_device(Source(), range(14))
+    bf = pixel_budget_batches(groups, 8)
+    # area ratios 1:4:16 -> batches 8:2:1 (floor, min 1)
+    assert bf == {(16, 16, 3): 8, (32, 32, 3): 2, (64, 64, 3): 1}
+
+    it = device_bucketed_batch_iterator(groups, 8, seed=0, batch_for=bf)
+    sizes_seen = {16: 0, 32: 0, 64: 0}
+    for _ in range(30):
+        img, lbl = next(it)
+        assert img.shape[0] == bf[tuple(img.shape[1:])]
+        assert lbl.shape[0] == img.shape[0]
+        sizes_seen[img.shape[1]] += 1
+    # steps/epoch are 1 : 2 : 2 — every bucket must appear
+    assert all(v > 0 for v in sizes_seen.values())
+
+    ids = []
+    for img, lbl in device_bucketed_eval_batches(groups, 8, batch_for=bf):
+        assert img.shape[0] <= bf[tuple(img.shape[1:])]
+        ids.extend(int(v) for v in np.asarray(lbl)[:, 0])
+    assert sorted(ids) == list(range(14))

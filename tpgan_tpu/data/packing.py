@@ -174,28 +174,53 @@ def load_pretrain_to_device(dataset, indices) -> Dict[tuple, Dict[str, "object"]
     return out
 
 
+def pixel_budget_batches(
+    groups: Dict[tuple, Dict[str, "object"]], batch_size: int
+) -> Dict[tuple, int]:
+    """Per-bucket batch sizes holding the PIXEL budget constant:
+    ``batch_size`` applies at the smallest bucket and larger buckets
+    scale down by area (min 1). A fixed per-bucket image count otherwise
+    scales activation memory with bucket area — measured: b=16 at the
+    1024 bucket exhausted the 16 GB HBM that b=16 at 256 barely dents —
+    while constant pixels/step keeps every bucket's program at the same
+    activation footprint and MXU occupancy (static shapes per bucket)."""
+    if not groups:
+        return {}
+    min_area = min(k[0] * k[1] for k in groups)
+    return {
+        k: max(1, int(batch_size * min_area / (k[0] * k[1])))
+        for k in groups
+    }
+
+
 def device_bucketed_batch_iterator(
-    groups: Dict[tuple, Dict[str, "object"]], batch_size: int, seed: int = 0
+    groups: Dict[tuple, Dict[str, "object"]], batch_size: int, seed: int = 0,
+    batch_for: Optional[Dict[tuple, int]] = None,
 ) -> Iterator[Tuple["object", "object"]]:
     """Infinite train iterator over device-resident pretrain buckets
     (:func:`load_pretrain_to_device`): each step picks a bucket with
-    probability proportional to its item count (so the visit rate per
-    image is uniform across buckets, matching a shuffled host epoch in
+    probability proportional to the number of steps that bucket needs
+    per epoch (item count / its batch size — the per-image visit rate
+    stays uniform across buckets, matching a shuffled host epoch in
     expectation), then gathers a with-replacement batch ON DEVICE.
     Yields ``(images_uint8, labels_f32)`` device tuples; per step only
-    the index vector crosses the tunnel."""
+    the index vector crosses the tunnel. ``batch_for`` overrides the
+    batch size per bucket (see :func:`pixel_budget_batches`)."""
     import jax
     import jax.numpy as jnp
 
     take = jax.jit(lambda d, idx: jax.tree.map(lambda a: a[idx], d))
     keys = sorted(groups)
-    counts = np.asarray([int(groups[k]["img"].shape[0]) for k in keys], np.float64)
-    probs = counts / counts.sum()
+    bs = {k: (batch_for or {}).get(k, batch_size) for k in keys}
+    steps = np.asarray(
+        [int(groups[k]["img"].shape[0]) / bs[k] for k in keys], np.float64
+    )
+    probs = steps / steps.sum()
     rng = np.random.RandomState(seed)
     while True:
         k = keys[int(rng.choice(len(keys), p=probs))]
         idx = jnp.asarray(
-            rng.randint(0, int(groups[k]["img"].shape[0]), size=(batch_size,)),
+            rng.randint(0, int(groups[k]["img"].shape[0]), size=(bs[k],)),
             jnp.int32,
         )
         b = take(groups[k], idx)
@@ -203,7 +228,8 @@ def device_bucketed_batch_iterator(
 
 
 def device_bucketed_eval_batches(
-    groups: Dict[tuple, Dict[str, "object"]], batch_size: int
+    groups: Dict[tuple, Dict[str, "object"]], batch_size: int,
+    batch_for: Optional[Dict[tuple, int]] = None,
 ) -> Iterator[Tuple["object", "object"]]:
     """One sequential pass over every item of every device-resident
     bucket (validation). Full batches slice by static offsets; the final
@@ -216,8 +242,9 @@ def device_bucketed_eval_batches(
     take = jax.jit(lambda d, idx: jax.tree.map(lambda a: a[idx], d))
     for k in sorted(groups):
         n = int(groups[k]["img"].shape[0])
-        for start in range(0, n, batch_size):
-            idx = jnp.arange(start, min(start + batch_size, n), dtype=jnp.int32)
+        b_k = (batch_for or {}).get(k, batch_size)
+        for start in range(0, n, b_k):
+            idx = jnp.arange(start, min(start + b_k, n), dtype=jnp.int32)
             b = take(groups[k], idx)
             yield b["img"], b["label"]
 
