@@ -337,3 +337,40 @@ def test_ema_state_checkpoint_roundtrip(tmp_path):
         jax.tree.leaves(restored1.g_ema_params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_enable_ema_on_pre_ema_checkpoint(tmp_path):
+    """restore_gan_checkpoint: turning train.ema_decay on for a run
+    whose checkpoints predate EMA tracking restores the live state and
+    seeds the EMA subtree from the restored generator weights; a
+    genuinely incompatible layout still fails."""
+    import pytest
+
+    from tpgan_tpu.train.checkpoint import (
+        restore_gan_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg_off = make_config(SMALL)
+    state_off, *_ = create_gan_state(cfg_off, jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path / "ck"), 7, state_off)
+
+    cfg_on = make_config({**SMALL, "train": {"ema_decay": 0.9}})
+    tmpl, *_ = create_gan_state(cfg_on, jax.random.PRNGKey(1))
+    restored = restore_gan_checkpoint(str(tmp_path / "ck"), tmpl)
+    ref = state_off.g_params["global_pathway"]["conv0_conv"]["conv"]["kernel"]
+    np.testing.assert_array_equal(
+        np.asarray(
+            restored.g_params["global_pathway"]["conv0_conv"]["conv"]["kernel"]
+        ),
+        np.asarray(ref),
+    )
+    # EMA seeded from the restored live weights
+    for a, b in zip(
+        jax.tree.leaves(restored.g_ema_params),
+        jax.tree.leaves(restored.g_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(FileNotFoundError):
+        restore_gan_checkpoint(str(tmp_path / "missing"), tmpl)

@@ -160,7 +160,10 @@ def cmd_train(args) -> int:
             FeatureExtractModel,
             make_identity_embed_fn,
         )
-        from tpgan_tpu.train.checkpoint import restore_checkpoint
+        from tpgan_tpu.train.checkpoint import (
+        restore_checkpoint,
+        restore_gan_checkpoint,
+    )
 
         # opt-in bf16 embedder forward: the identity loss only needs the
         # feature DIRECTION (cosine/L1 scale), not f32 precision, and the
@@ -357,7 +360,10 @@ def cmd_eval(args) -> int:
     from tpgan_tpu.data.multipie import TrainDataset
     from tpgan_tpu.data.pipeline import batch_iterator
     from tpgan_tpu.evaluate import psnr, ssim
-    from tpgan_tpu.train.checkpoint import restore_checkpoint
+    from tpgan_tpu.train.checkpoint import (
+        restore_checkpoint,
+        restore_gan_checkpoint,
+    )
     from tpgan_tpu.train.gan_trainer import (
         create_gan_state,
         eval_g_params,
@@ -371,7 +377,7 @@ def cmd_eval(args) -> int:
 
     state, gen, *_ = create_gan_state(cfg, jax.random.PRNGKey(0))
     if args.checkpoint:
-        state = restore_checkpoint(args.checkpoint, state)
+        state = restore_gan_checkpoint(args.checkpoint, state)
     g_eval_params = eval_g_params(state)
     synthesize = jax.jit(make_synthesize_fn(cfg, gen))
 
@@ -532,7 +538,7 @@ def cmd_synthesize(args) -> int:
     import jax.numpy as jnp
 
     from tpgan_tpu.data.multipie import TestDataset
-    from tpgan_tpu.train.checkpoint import restore_checkpoint
+    from tpgan_tpu.train.checkpoint import restore_gan_checkpoint
     from tpgan_tpu.train.gan_trainer import (
         create_gan_state,
         eval_g_params,
@@ -547,7 +553,7 @@ def cmd_synthesize(args) -> int:
 
     state, gen, *_ = create_gan_state(cfg, jax.random.PRNGKey(0))
     if args.checkpoint:
-        state = restore_checkpoint(args.checkpoint, state)
+        state = restore_gan_checkpoint(args.checkpoint, state)
     synthesize = jax.jit(make_synthesize_fn(cfg, gen))
     batch = {k: jnp.asarray(v)[None] for k, v in item.items()}
     z = jax.random.normal(jax.random.PRNGKey(args.seed), (1, cfg.G.zdim))
@@ -572,13 +578,13 @@ def cmd_export(args) -> int:
     import jax
 
     from tpgan_tpu.serving import export_synthesis
-    from tpgan_tpu.train.checkpoint import restore_checkpoint
+    from tpgan_tpu.train.checkpoint import restore_gan_checkpoint
     from tpgan_tpu.train.gan_trainer import create_gan_state, eval_g_params
 
     cfg = _build_config(args)
     state, gen, *_ = create_gan_state(cfg, jax.random.PRNGKey(0))
     if args.checkpoint:
-        state = restore_checkpoint(args.checkpoint, state)
+        state = restore_gan_checkpoint(args.checkpoint, state)
     params = eval_g_params(state)
 
     scales = None
@@ -634,7 +640,10 @@ def cmd_frontalize(args) -> int:
     from PIL import Image
 
     from tpgan_tpu.frontalize import make_frontalize_fn
-    from tpgan_tpu.train.checkpoint import restore_checkpoint
+    from tpgan_tpu.train.checkpoint import (
+        restore_checkpoint,
+        restore_gan_checkpoint,
+    )
     from tpgan_tpu.train.gan_trainer import create_gan_state
     from tpgan_tpu.train.pretrain import create_pretrain_state
 
@@ -647,7 +656,7 @@ def cmd_frontalize(args) -> int:
 
     state, gen, *_ = create_gan_state(cfg, jax.random.PRNGKey(0))
     if args.checkpoint:
-        state = restore_checkpoint(args.checkpoint, state)
+        state = restore_gan_checkpoint(args.checkpoint, state)
 
     frontalize = jax.jit(make_frontalize_fn(
         cfg, detector, gen, detector_size=args.detector_size

@@ -96,6 +96,31 @@ def restore_checkpoint(directory: str, state_like: Any, step: Optional[int] = No
     return out
 
 
+def restore_gan_checkpoint(directory: str, state_like: Any, step: Optional[int] = None):
+    """:func:`restore_checkpoint` specialised for ``GANTrainState``:
+    additionally tolerates enabling ``train.ema_decay`` on a run whose
+    checkpoints predate EMA tracking — the checkpoint restores against
+    an EMA-free template and the EMA subtree initialises from the
+    restored live generator weights (the correct EMA seed). Any other
+    layout mismatch still fails loudly."""
+    ema = getattr(state_like, "g_ema_params", None)
+    if not ema:
+        return restore_checkpoint(directory, state_like, step)
+    try:
+        return restore_checkpoint(directory, state_like, step)
+    except FileNotFoundError:
+        raise
+    except Exception:
+        import jax.numpy as jnp
+
+        restored = restore_checkpoint(
+            directory, state_like.replace(g_ema_params={}), step
+        )
+        return restored.replace(
+            g_ema_params=jax.tree.map(jnp.copy, restored.g_params)
+        )
+
+
 # --------------------------------------------------------------------------
 # PyTorch .pth import (parity validation path)
 # --------------------------------------------------------------------------

@@ -18,7 +18,7 @@ from tpgan_tpu.parallel.sharding import batch_shardings, shard_gan_state
 from tpgan_tpu.train.checkpoint import (
     finalize_checkpoints,
     latest_step,
-    restore_checkpoint,
+    restore_gan_checkpoint,
     save_checkpoint,
 )
 from tpgan_tpu.train.gan_trainer import (
@@ -67,9 +67,9 @@ def run_gan_training(
     state, gen, disc, g_tx, d_tx = create_gan_state(cfg, rng)
 
     if resume and checkpoint_dir and latest_step(checkpoint_dir) is not None:
-        state = restore_checkpoint(checkpoint_dir, state)
+        state = restore_gan_checkpoint(checkpoint_dir, state)
     elif cfg.train.resume_model:
-        state = restore_checkpoint(cfg.train.resume_model, state)
+        state = restore_gan_checkpoint(cfg.train.resume_model, state)
     # ``steps`` is a GLOBAL budget (the reference's resume intent,
     # config.py:56-57): after restoring step N, we run steps-N more and
     # checkpoints continue the step numbering instead of restarting at 0.
