@@ -15,10 +15,15 @@ Usage:
 """
 import argparse
 import json
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# repo root on sys.path: `python examples/...` puts examples/ there
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -35,7 +40,7 @@ def main():
     from tpgan_tpu.data.celeba import CelebALandmarkDataset
     from tpgan_tpu.data.pipeline import bucketed_batch_iterator
     from tpgan_tpu.train.checkpoint import restore_checkpoint
-    from tpgan_tpu.train.pretrain import create_pretrain_state, make_eval_step
+    from tpgan_tpu.train.pretrain import create_pretrain_state
 
     buckets = tuple(int(b) for b in args.buckets.split(","))
     cfg = make_config({
@@ -53,11 +58,25 @@ def main():
     )
     _, val_idx, _ = ds.split(p.train_data_ratio, p.validation_data_ratio)
 
+    from tpgan_tpu.losses.decoder import decode_landmarks
+    from tpgan_tpu.train.pretrain import landmark_accuracy
+
     state, model, _ = create_pretrain_state(cfg, jax.random.PRNGKey(0))
     state = restore_checkpoint(args.checkpoint, state)
-    eval_step = jax.jit(make_eval_step(cfg, model))
+    model_eval = model.clone(accum_f32=True)
 
-    rng = jax.random.PRNGKey(1)
+    @jax.jit
+    def decode_step(st, images):
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        loc, cls = model_eval.apply(
+            {"params": st.params, "batch_stats": st.batch_stats},
+            images, train=False,
+        )
+        d = decode_landmarks(loc, cls)
+        return d.points, d.valid
+
+    min_bucket = min(buckets)
     per_bucket: dict = {}
     it = bucketed_batch_iterator(
         ds, p.batch_size, shuffle=False, indices=val_idx, epochs=1,
@@ -65,10 +84,19 @@ def main():
     )
     for images, labels in it:
         size = int(np.asarray(images).shape[1])
-        rng, e_rng = jax.random.split(rng)
-        m = eval_step(state, jnp.asarray(images), jnp.asarray(labels), e_rng)
-        rec = per_bucket.setdefault(size, {"acc": [], "n": 0})
-        rec["acc"].append(float(m["val_accuracy"]) * len(images))
+        points, valid = decode_step(state, jnp.asarray(images))
+        labels_j = jnp.asarray(labels)
+        acc = float(landmark_accuracy(points, valid, labels_j))
+        # relative-error variant: bands scaled by bucket/min_bucket so a
+        # 1024 px source is judged at the same FRACTION of image size as
+        # a 256 px one (the reference's absolute bands, Pretrain.py:31-32,
+        # are intrinsically ~4x stricter at 1024)
+        acc_rel = float(landmark_accuracy(
+            points, valid, labels_j, thresholds_scale=size / min_bucket
+        ))
+        rec = per_bucket.setdefault(size, {"acc": [], "acc_rel": [], "n": 0})
+        rec["acc"].append(acc * len(images))
+        rec["acc_rel"].append(acc_rel * len(images))
         rec["n"] += len(images)
 
     out = {
@@ -76,14 +104,21 @@ def main():
         "buckets": {
             str(size): {
                 "val_accuracy": round(sum(rec["acc"]) / rec["n"], 4),
+                "val_accuracy_scaled_bands": round(
+                    sum(rec["acc_rel"]) / rec["n"], 4
+                ),
                 "num_images": rec["n"],
             }
             for size, rec in sorted(per_bucket.items())
         },
     }
-    all_acc = sum(sum(r["acc"]) for r in per_bucket.values())
     all_n = sum(r["n"] for r in per_bucket.values())
-    out["overall_val_accuracy"] = round(all_acc / all_n, 4)
+    out["overall_val_accuracy"] = round(
+        sum(sum(r["acc"]) for r in per_bucket.values()) / all_n, 4
+    )
+    out["overall_val_accuracy_scaled_bands"] = round(
+        sum(sum(r["acc_rel"]) for r in per_bucket.values()) / all_n, 4
+    )
     print(json.dumps(out))
 
 

@@ -374,3 +374,20 @@ def test_enable_ema_on_pre_ema_checkpoint(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         restore_gan_checkpoint(str(tmp_path / "missing"), tmpl)
+
+    # reverse direction: an EMA-tracking checkpoint restores into an
+    # EMA-off template (live weights kept, EMA subtree dropped) — how
+    # the live-vs-EMA quality comparison scores the same checkpoint
+    state_on, *_ = create_gan_state(cfg_on, jax.random.PRNGKey(2))
+    save_checkpoint(str(tmp_path / "ck_on"), 3, state_on)
+    tmpl_off, *_ = create_gan_state(cfg_off, jax.random.PRNGKey(3))
+    r2 = restore_gan_checkpoint(str(tmp_path / "ck_on"), tmpl_off)
+    assert len(jax.tree.leaves(r2.g_ema_params)) == 0
+    np.testing.assert_array_equal(
+        np.asarray(
+            r2.g_params["global_pathway"]["conv0_conv"]["conv"]["kernel"]
+        ),
+        np.asarray(
+            state_on.g_params["global_pathway"]["conv0_conv"]["conv"]["kernel"]
+        ),
+    )

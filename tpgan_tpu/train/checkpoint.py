@@ -98,14 +98,14 @@ def restore_checkpoint(directory: str, state_like: Any, step: Optional[int] = No
 
 def restore_gan_checkpoint(directory: str, state_like: Any, step: Optional[int] = None):
     """:func:`restore_checkpoint` specialised for ``GANTrainState``:
-    additionally tolerates enabling ``train.ema_decay`` on a run whose
-    checkpoints predate EMA tracking — the checkpoint restores against
-    an EMA-free template and the EMA subtree initialises from the
-    restored live generator weights (the correct EMA seed). Any other
-    layout mismatch still fails loudly."""
-    ema = getattr(state_like, "g_ema_params", None)
-    if not ema:
-        return restore_checkpoint(directory, state_like, step)
+    tolerates flipping ``train.ema_decay`` across a checkpoint boundary
+    in either direction. Enabling EMA on a pre-EMA run: the checkpoint
+    restores against an EMA-free template and the EMA subtree
+    initialises from the restored live generator weights (the correct
+    EMA seed). Disabling EMA on an EMA-tracking checkpoint: the extra
+    subtree restores against a params-shaped template and is dropped,
+    so eval scores the LIVE weights (how the live-vs-EMA quality A/B is
+    measured). Any other layout mismatch still fails loudly."""
     try:
         return restore_checkpoint(directory, state_like, step)
     except FileNotFoundError:
@@ -113,12 +113,21 @@ def restore_gan_checkpoint(directory: str, state_like: Any, step: Optional[int] 
     except Exception:
         import jax.numpy as jnp
 
-        restored = restore_checkpoint(
-            directory, state_like.replace(g_ema_params={}), step
+        if getattr(state_like, "g_ema_params", None):
+            # template tracks EMA, checkpoint predates it
+            restored = restore_checkpoint(
+                directory, state_like.replace(g_ema_params={}), step
+            )
+            return restored.replace(
+                g_ema_params=jax.tree.map(jnp.copy, restored.g_params)
+            )
+        # checkpoint tracks EMA, template does not: the EMA subtree is
+        # shaped exactly like g_params
+        with_ema = state_like.replace(
+            g_ema_params=jax.tree.map(jnp.copy, state_like.g_params)
         )
-        return restored.replace(
-            g_ema_params=jax.tree.map(jnp.copy, restored.g_params)
-        )
+        restored = restore_checkpoint(directory, with_ema, step)
+        return restored.replace(g_ema_params={})
 
 
 # --------------------------------------------------------------------------

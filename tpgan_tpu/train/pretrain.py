@@ -58,6 +58,7 @@ def landmark_accuracy(
     points: jnp.ndarray,  # (B, C, top_k, 2) decoded
     valid: jnp.ndarray,   # (B, C, top_k)
     labels: jnp.ndarray,  # (B, 8)
+    thresholds_scale: float = 1.0,
 ) -> jnp.ndarray:
     """Euclid-distance banded accuracy (reference: Pretrain.py:17-64):
     each of the 4 part predictions scores the band weight of its distance
@@ -69,7 +70,14 @@ def landmark_accuracy(
     bucket, matching the reference's source-pixel bands
     (Pretrain.py:31-32); in single-bucket mode (round-1 behaviour) the
     frame is the letterboxed square, i.e. a stricter band on sources
-    larger than the bucket."""
+    larger than the bucket.
+
+    ``thresholds_scale`` multiplies every band threshold — the
+    RELATIVE-error variant used by the multi-bucket parity analysis
+    (the reference's absolute 5-45 px bands make a 1024 px source
+    intrinsically ~4x stricter than a 256 px one; scaling by
+    bucket/min_bucket measures localization as a fraction of image
+    size instead)."""
     pred = points[:, :4, 0, :]  # drop background class, top-1
     ok = valid[:, :4, 0]
     gt = labels.reshape(-1, 4, 2)
@@ -77,6 +85,7 @@ def landmark_accuracy(
     acc = jnp.zeros_like(d)
     prev = 0.0
     for thr, w in zip(ACC_THRESHOLDS, ACC_WEIGHTS):
+        thr = thr * thresholds_scale
         acc = acc + jnp.where((d > prev) & (d <= thr), w, 0.0)
         prev = thr
     return jnp.mean(jnp.where(ok, acc, 0.0))
