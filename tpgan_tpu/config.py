@@ -55,6 +55,15 @@ class PretrainConfig:
     # up to the largest bucket (cap intent: general.image_max_size,
     # config.py:40). None = single image_size bucket.
     image_buckets: Optional[Tuple[int, ...]] = None
+    # SSD-head location parameterization: "absolute" = reference parity
+    # (the loc conv emits absolute ReLU-clamped pixel coordinates,
+    # reference MobileNetV2.py:67 — measurably capped at ~12 px median
+    # error because convs are translation-equivariant and absolute
+    # position is outside their function class); "anchor_offset" = the
+    # TPU-first redesign (coord = cell centre + conv output * stride,
+    # models/mobilenet_v2.SSDHead). Checkpoints record their mode in a
+    # detector_meta.json sidecar and loaders auto-apply it.
+    head_mode: str = "absolute"
     loss: PretrainLossConfig = field(default_factory=PretrainLossConfig)
 
 

@@ -25,17 +25,35 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 
+def _basename_any_sep(name: str) -> str:
+    """Basename across BOTH path separators: the reference's corpus
+    carries Windows-style names it splits on '\\' (DataAndDataset.py:77);
+    a unix-built list may carry '/'. Keys are matched by plain basename
+    either way."""
+    return name.replace("\\", "/").rsplit("/", 1)[-1]
+
+
 def parse_celeba_landmarks(txt_path: str) -> Dict[str, np.ndarray]:
-    """label txt -> {image_name: float32 (8,) = 4 x (x, y)}."""
+    """label txt -> {image_name: float32 (8,) = 4 x (x, y)}.
+
+    Real-corpus tolerances (the synthetic protocol writer is cleaner than
+    the real CelebA file may be): CRLF line endings, BOM, runs of
+    whitespace/tabs, float-formatted coordinates, name fields carrying
+    Windows or unix path prefixes (keyed by basename, matching the
+    reference's '\\' split at DataAndDataset.py:77), and unparseable rows
+    (skipped, like the reference's len!=11 implicit skip)."""
     labels: Dict[str, np.ndarray] = {}
-    with open(txt_path, "r") as f:
+    with open(txt_path, "r", encoding="utf-8-sig") as f:
         lines = f.read().splitlines()
     for line in lines[2:]:
         parts = line.split()
         if len(parts) != 11:
             continue
-        name = parts[0]
-        v = [int(p) for p in parts[1:]]
+        name = _basename_any_sep(parts[0])
+        try:
+            v = [int(float(p)) for p in parts[1:]]
+        except ValueError:
+            continue
         lefteye = (v[0], v[1])
         righteye = (v[2], v[3])
         nose = (v[4], v[5])
@@ -104,7 +122,16 @@ class CelebALandmarkDataset:
         buckets: Optional[Tuple[int, ...]] = None,
     ):
         self.labels = parse_celeba_landmarks(os.path.join(data_root_dir, txt_name))
-        self.image_paths = find_images(data_root_dir)
+        all_paths = find_images(data_root_dir)
+        # keep only labelled images: os.walk collects every .jpg under the
+        # root (reference DataAndDataset.py:170-174), and a partial corpus
+        # or stray file would otherwise KeyError mid-epoch
+        self.image_paths = [
+            p for p in all_paths if os.path.basename(p) in self.labels
+        ]
+        dropped = len(all_paths) - len(self.image_paths)
+        if dropped:
+            print(f"[celeba] {dropped} image(s) without landmark rows skipped")
         self.image_size = image_size
         self.max_source_size = max_source_size
         self.buckets = tuple(sorted(buckets)) if buckets else None

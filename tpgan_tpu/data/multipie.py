@@ -136,8 +136,10 @@ class TestDataset:
 
         with Image.open(self.img_list[idx]) as im:
             im = im.convert("RGB")
+            # whitespace-split (not single-space): real landmark files may
+            # carry runs of spaces, tabs, or CRLF tails
             lm = np.asarray(
-                self.lm_list[idx].split(" "), np.float32
+                self.lm_list[idx].split(), np.float32
             ).reshape(-1, 2)
             lm5 = five_landmarks_from_68(lm)
             lm5[:, 0] *= 128.0 / im.width

@@ -97,15 +97,43 @@ class InvertedResidual(nn.Module):
 
 
 class SSDHead(nn.Module):
+    """Per-scale loc/cls head. Two location parameterizations:
+
+    * ``head_mode="absolute"`` — reference parity: the loc conv emits the
+      landmark's ABSOLUTE pixel coordinate, ReLU-clamped
+      (reference: MobileNetV2.py:67). Structural flaw (measured as the
+      round-3 12 px localization ceiling): convolutions are translation-
+      equivariant, so a conv head cannot represent "output the absolute
+      position x" except by exploiting padding/boundary artifacts — the
+      regression target is not in the head's function class.
+    * ``head_mode="anchor_offset"`` — TPU-first redesign: each feature
+      cell owns an anchor at its centre ``((j+0.5)*stride_x,
+      (i+0.5)*stride_y)`` and the conv regresses the OFFSET from that
+      centre in stride units: ``coord = centre + raw * stride``. The
+      offset-to-target field is translation-equivariant, i.e. exactly
+      representable by the conv; the decoded output stays an absolute
+      pixel coordinate, so the multitask loss, the NMS decoder, and
+      every checkpoint consumer are unchanged. Decoding is done in f32
+      and clipped per-axis to the image bounds (the loss's [0, 1]
+      normalisation clip, reference :471-475, then never engages).
+    """
+
     num_of_out_classes: int = NUM_LANDMARK_CLASSES
     dtype: Any = jnp.float32
     accum_f32: bool = True
+    head_mode: str = "absolute"
 
     @nn.compact
     def __call__(
-        self, features: List[jnp.ndarray]
+        self,
+        features: List[jnp.ndarray],
+        image_hw: Tuple[int, int] | None = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         num_loc = 2  # (x, y) centre per anchor
+        if self.head_mode not in ("absolute", "anchor_offset"):
+            raise ValueError(f"unknown head_mode: {self.head_mode!r}")
+        if self.head_mode == "anchor_offset" and image_hw is None:
+            raise ValueError("anchor_offset head needs image_hw")
         locations, classifications = [], []
         for idx, (cin, anchors) in enumerate(SSD_SCALES):
             feat = features[idx]
@@ -114,9 +142,24 @@ class SSDHead(nn.Module):
                 cin, anchors * num_loc, 3, 1, 1, dtype=self.dtype,
                 accum_f32=self.accum_f32, name=f"loc{idx}", **_he_conv(),
             )(feat)
-            # NHWC already — flatten straight to (B, H*W*anchors, 2); ReLU
-            # keeps coordinates non-negative (reference: :67)
-            loc = jnp.maximum(loc.reshape(b, -1, num_loc), 0.0)
+            if self.head_mode == "anchor_offset":
+                ih, iw = int(image_hw[0]), int(image_hw[1])
+                fh, fw = int(feat.shape[1]), int(feat.shape[2])
+                sy, sx = ih / fh, iw / fw  # pixel stride of this scale
+                cx = (jnp.arange(fw, dtype=jnp.float32) + 0.5) * sx
+                cy = (jnp.arange(fh, dtype=jnp.float32) + 0.5) * sy
+                centres = jnp.stack(
+                    jnp.broadcast_arrays(cx[None, :], cy[:, None]), axis=-1
+                )  # (fh, fw, 2) as (x, y)
+                raw = loc.astype(jnp.float32).reshape(b, fh, fw, anchors, num_loc)
+                stride = jnp.asarray([sx, sy], jnp.float32)
+                decoded = centres[None, :, :, None, :] + raw * stride
+                hi = jnp.asarray([iw, ih], jnp.float32)
+                loc = jnp.clip(decoded, 0.0, hi).reshape(b, -1, num_loc)
+            else:
+                # NHWC already — flatten straight to (B, H*W*anchors, 2);
+                # ReLU keeps coordinates non-negative (reference: :67)
+                loc = jnp.maximum(loc.reshape(b, -1, num_loc), 0.0)
             locations.append(loc)
 
             cls = Conv2d(
@@ -136,6 +179,7 @@ class MobileNetV2(nn.Module):
     num_of_out_classes: int = NUM_LANDMARK_CLASSES
     dtype: Any = jnp.float32
     accum_f32: bool = True  # False when training (grads through convs)
+    head_mode: str = "absolute"  # see SSDHead; config: pretrain.head_mode
 
     @nn.compact
     def __call__(
@@ -193,8 +237,9 @@ class MobileNetV2(nn.Module):
 
         return SSDHead(
             self.num_of_out_classes, dtype=self.dtype,
-            accum_f32=self.accum_f32, name="ssd_head",
-        )(features)
+            accum_f32=self.accum_f32, head_mode=self.head_mode,
+            name="ssd_head",
+        )(features, image_hw=(x.shape[1], x.shape[2]))
 
 
 def find_best_coordinates(

@@ -91,11 +91,47 @@ def landmark_accuracy(
     return jnp.mean(jnp.where(ok, acc, 0.0))
 
 
+def write_detector_meta(checkpoint_dir: str, cfg: Config) -> None:
+    """Record the architecture knobs a detector checkpoint depends on
+    (currently the SSD head's location parameterization) in a sidecar so
+    consumers (cli eval --detector-checkpoint, cli frontalize, the error
+    analysis) reconstruct the right model without the user re-passing
+    --set pretrain.head_mode=... at every load."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    with open(os.path.join(checkpoint_dir, "detector_meta.json"), "w") as f:
+        json.dump({"head_mode": cfg.pretrain.head_mode,
+                   "model_name": cfg.pretrain.model_name}, f)
+
+
+def apply_detector_meta(cfg: Config, checkpoint_dir: str) -> Config:
+    """Return ``cfg`` with pretrain.head_mode/model_name overridden from
+    the checkpoint's detector_meta.json sidecar, when one exists (older
+    checkpoints have none and are all head_mode="absolute", the default)."""
+    # the sidecar lives at the checkpoint root; accept a .../best subdir too
+    for d in (checkpoint_dir, os.path.dirname(checkpoint_dir.rstrip("/"))):
+        path = os.path.join(d, "detector_meta.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                meta = json.load(f)
+            return dataclasses.replace(
+                cfg,
+                pretrain=dataclasses.replace(
+                    cfg.pretrain,
+                    head_mode=meta.get("head_mode", cfg.pretrain.head_mode),
+                    model_name=meta.get("model_name", cfg.pretrain.model_name),
+                ),
+            )
+    return cfg
+
+
 def create_pretrain_state(
     cfg: Config, rng: jax.Array, dtype=jnp.float32, steps_per_epoch: int = 1
 ) -> Tuple[PretrainState, MobileNetV2, optax.GradientTransformation]:
     # accum_f32=False: the pretrain step differentiates the convs
-    model = get_model(cfg.pretrain.model_name, dtype=dtype, accum_f32=False)
+    model = get_model(
+        cfg.pretrain.model_name, dtype=dtype, accum_f32=False,
+        head_mode=cfg.pretrain.head_mode,
+    )
     size = cfg.pretrain.image_size
     variables = jax.jit(model.init)(
         rng, jnp.zeros((1, size, size, 3), jnp.float32)
@@ -196,7 +232,26 @@ def make_eval_step(cfg: Config, model: MobileNetV2):
         )
         decoded = decode_landmarks(loc, cls)
         acc = landmark_accuracy(decoded.points, decoded.valid, labels)
-        return {"val_loss": total, "val_accuracy": acc}
+        # Per-part localization breakdown in the LIVE metric stream (the
+        # reference prints component losses every step, MobileNetV2.py:488-531;
+        # we surface the quality-relevant decomposition instead): mean pixel
+        # error and the 5-px full-credit-band hit rate per part, so head
+        # experiments are visible per validation sweep, not only via the
+        # post-hoc examples/detector_error_analysis.py.
+        pred = decoded.points[:, :4, 0, :]
+        ok = decoded.valid[:, :4, 0]
+        gt = labels.reshape(-1, 4, 2)
+        d = jnp.sqrt(jnp.sum(jnp.square(pred - gt), axis=-1) + 1e-20)
+        n_ok = jnp.maximum(jnp.sum(ok, axis=0), 1)
+        part_err = jnp.sum(jnp.where(ok, d, 0.0), axis=0) / n_ok  # (4,)
+        part_in5 = jnp.sum(jnp.where(ok, (d <= 5.0), False), axis=0) / n_ok
+        metrics = {"val_loss": total, "val_accuracy": acc,
+                   "val_within_5px": jnp.mean(part_in5),
+                   "val_err_px": jnp.mean(part_err)}
+        for i, name in enumerate(("left_eye", "right_eye", "nose", "mouth")):
+            metrics[f"val_err_px_{name}"] = part_err[i]
+            metrics[f"val_within_5px_{name}"] = part_in5[i]
+        return metrics
 
     return eval_step
 
@@ -228,6 +283,8 @@ def run_pretrain(
     state, model, tx = create_pretrain_state(
         cfg, rng, steps_per_epoch=steps_per_epoch
     )
+    if checkpoint_dir:
+        write_detector_meta(checkpoint_dir, cfg)
     start_step = 0
     if resume and checkpoint_dir:
         state = restore_checkpoint(checkpoint_dir, state)
@@ -285,18 +342,18 @@ def run_pretrain(
                 val_batches_fn is not None
                 and step % cfg.pretrain.log_step_of_batchs == 0
             ):
-                accs, losses = [], []
+                sums: Dict[str, list] = {}
                 for v_img, v_lbl in val_batches_fn():
                     rng, v_rng = jax.random.split(rng)
                     m = eval_step(state, jnp.asarray(v_img), jnp.asarray(v_lbl), v_rng)
-                    accs.append(float(m["val_accuracy"]))
-                    losses.append(float(m["val_loss"]))
-                if accs:
-                    val_acc = float(np.mean(accs))
+                    for k, v in m.items():
+                        sums.setdefault(k, []).append(float(v))
+                if sums:
+                    val_acc = float(np.mean(sums["val_accuracy"]))
                     if writer is not None:
                         writer.write(
                             step,
-                            {"val_accuracy": val_acc, "val_loss": float(np.mean(losses))},
+                            {k: float(np.mean(v)) for k, v in sums.items()},
                         )
                     if checkpoint_dir and val_acc > best_acc:
                         best_acc = val_acc
