@@ -49,6 +49,22 @@ CAMERA_YAWS: Dict[str, float] = {
     "200": 60.0,
 }
 
+# Extreme-pose extension (Multi-PIE's full camera ring reaches +/-90;
+# the TP-GAN paper evaluates those bins too). Not part of the default
+# 9-camera protocol: the round-2/3 campaigns and their committed
+# artifacts were generated from CAMERA_YAWS, and changing that set would
+# silently change every "same recipe" retrain. Used by the harder
+# identity-evaluation protocol (VERDICT r3 item 5) where Rank-1 needs
+# headroom below 1.0 to discriminate.
+EXTREME_CAMERA_YAWS: Dict[str, float] = {
+    "240": -90.0,
+    "191": -75.0,
+    "041": 75.0,
+    "020": 90.0,
+}
+
+ALL_CAMERA_YAWS: Dict[str, float] = {**CAMERA_YAWS, **EXTREME_CAMERA_YAWS}
+
 
 def identity_params(subject: int) -> Dict[str, np.ndarray]:
     """Deterministic per-subject appearance/geometry parameters."""
@@ -250,7 +266,7 @@ def generate_gan_protocol(
 
     for s in range(start_subject, start_subject + num_subjects):
         for cam in cameras:
-            img, lm5 = render_face(s, CAMERA_YAWS[cam], render_size)
+            img, lm5 = render_face(s, ALL_CAMERA_YAWS[cam], render_size)
             name = f"{s:03d}_01_{cam}_00.png"
             path = os.path.join(raw_dir, name)
             Image.fromarray(img).save(path)

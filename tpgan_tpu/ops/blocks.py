@@ -144,7 +144,9 @@ class Conv2d(nn.Module):
         qmode = quant_lib.current_mode()
         if qmode == quant_lib.CALIB:
             quant_lib.observe(self, x)
-        if qmode == quant_lib.INT8:
+        if qmode == quant_lib.INT8 and quant_lib.should_quantize(
+            cin_eff // self.groups, self.out_channels
+        ):
             y = quant_lib.int8_conv(
                 x,
                 kernel,
@@ -239,7 +241,9 @@ class ConvTranspose2d(nn.Module):
         )
         if qmode == quant_lib.CALIB:
             quant_lib.observe(self, x)
-        if qmode == quant_lib.INT8:
+        if qmode == quant_lib.INT8 and quant_lib.should_quantize(
+            cin_eff, self.out_channels
+        ):
             # input dilation just interleaves zeros — exact under int8
             y = quant_lib.int8_conv(
                 x,

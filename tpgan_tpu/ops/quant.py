@@ -41,9 +41,53 @@ _state = threading.local()
 CALIB = "calib"
 INT8 = "int8"
 
+# int8 serving-tuning knob defaults (see quant_config)
+_DEFAULT_RESCALE_DTYPE = jnp.float32
+_DEFAULT_MIN_CHANNELS = 0
+
 
 def current_mode() -> Optional[str]:
     return getattr(_state, "mode", None)
+
+
+def rescale_dtype():
+    return getattr(_state, "rescale_dtype", _DEFAULT_RESCALE_DTYPE)
+
+
+def should_quantize(cin_per_group: int, cout: int) -> bool:
+    """Selective quantization: convs narrower than ``min_channels`` on
+    either side stay on the bf16 path. Rationale: a narrow conv is
+    HBM-bound, so the int8 MXU rate buys little, while its quantize /
+    dequantize epilogues still cost VPU cycles and an extra int32
+    round-trip — measured on-chip by examples/int8_variants_probe.py."""
+    m = getattr(_state, "min_channels", _DEFAULT_MIN_CHANNELS)
+    return min(int(cin_per_group), int(cout)) >= m
+
+
+@contextmanager
+def quant_config(
+    rescale_dtype: Any = None, min_channels: Optional[int] = None
+):
+    """Tune the int8 trace (wrap it together with ``quant_mode``):
+
+    * ``rescale_dtype`` — dtype of the dequantize epilogue arithmetic
+      (int32 accumulator -> float). bfloat16 halves the epilogue's
+      read/write traffic; float32 is the conservative default.
+    * ``min_channels`` — skip quantization for convs whose
+      min(cin/groups, cout) is below this (see ``should_quantize``).
+    """
+    prev = (
+        getattr(_state, "rescale_dtype", _DEFAULT_RESCALE_DTYPE),
+        getattr(_state, "min_channels", _DEFAULT_MIN_CHANNELS),
+    )
+    if rescale_dtype is not None:
+        _state.rescale_dtype = rescale_dtype
+    if min_channels is not None:
+        _state.min_channels = min_channels
+    try:
+        yield
+    finally:
+        _state.rescale_dtype, _state.min_channels = prev
 
 
 @contextmanager
@@ -123,7 +167,8 @@ def int8_conv(
         lhs_dilation=lhs_dilation,
         preferred_element_type=jnp.int32,
     )
-    return y.astype(jnp.float32) * (x_scale * w_scale)
+    rdt = rescale_dtype()
+    return y.astype(rdt) * (x_scale * w_scale).astype(rdt)
 
 
 # --------------------------------------------------------------------------
@@ -187,14 +232,19 @@ def calibrate_synthesis(
     return jax.device_get(qvars)
 
 
-def make_int8_synthesize_fn(cfg, gen, quant_scales: Dict[str, Any]):
+def make_int8_synthesize_fn(
+    cfg, gen, quant_scales: Dict[str, Any],
+    rescale_dtype: Any = None, min_channels: Optional[int] = None,
+):
     """Int8 twin of ``train.gan_trainer.make_synthesize_fn``: same
     signature (g_params, batch, z) -> frontal images, convs running
-    int8 x int8 -> int32 on the MXU with the calibrated scales baked in."""
+    int8 x int8 -> int32 on the MXU with the calibrated scales baked in.
+    ``rescale_dtype``/``min_channels``: see ``quant_config`` (measured
+    on-chip by examples/int8_variants_probe.py)."""
     gen = gen.clone(accum_f32=True)
 
     def synthesize(g_params, batch, z):
-        with quant_mode(INT8):
+        with quant_mode(INT8), quant_config(rescale_dtype, min_channels):
             out = gen.apply(
                 {"params": g_params, "quant": quant_scales},
                 batch["img"], batch["left_eye"], batch["right_eye"],
