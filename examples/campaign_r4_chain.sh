@@ -16,7 +16,12 @@ while [ -n "$PID" ] && kill -0 "$PID" 2>/dev/null; do sleep 60; done
 echo "stage1 finished"
 
 mkdir -p runs/pretrain_anchor artifacts
+# --device-data: the host-feed path leaks ~30 MB/step of tunnel-client
+# device_put buffers (docs/BENCHMARKS.md round-2 finding; the baseline
+# run reproduced it at 70 GB RSS mid-run), and the HBM-resident feed is
+# also the faster path.
 time python -m tpgan_tpu.cli pretrain --checkpoint runs/pretrain_anchor/ckpt \
+    --device-data \
     --set pretrain.data_root_dir=data_synth/pretrain \
     --set "pretrain.image_buckets=(256,320)" \
     --set pretrain.validation_data_ratio=0.02 \

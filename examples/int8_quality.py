@@ -34,19 +34,33 @@ def main() -> int:
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--calib-batches", type=int, default=4)
     ap.add_argument("--eval-batches", type=int, default=8)
+    ap.add_argument("--set", action="append", default=[],
+                    help="config overrides, e.g. G.upsample_mode=resize_conv")
+    ap.add_argument("--rescale-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="int8 dequantize-epilogue dtype (ops/quant)")
+    ap.add_argument("--min-channels", type=int, default=0,
+                    help="selective quantization threshold (ops/quant)")
     args = ap.parse_args()
 
-    from tpgan_tpu.config import make_config
+    from tpgan_tpu.config import flat_override, make_config
     from tpgan_tpu.data.multipie import TrainDataset
     from tpgan_tpu.data.pipeline import batch_iterator
     from tpgan_tpu.evaluate import psnr, ssim
     from tpgan_tpu.ops.quant import calibrate_synthesis, make_int8_synthesize_fn
-    from tpgan_tpu.train.checkpoint import restore_checkpoint
-    from tpgan_tpu.train.gan_trainer import create_gan_state, make_synthesize_fn
+    from tpgan_tpu.train.checkpoint import restore_gan_checkpoint
+    from tpgan_tpu.train.gan_trainer import (
+        create_gan_state,
+        eval_g_params,
+        make_synthesize_fn,
+    )
 
     cfg = make_config({"compute_dtype": "bfloat16"})
+    if args.set:
+        cfg = flat_override(cfg, args.set)
     state, gen, *_ = create_gan_state(cfg, jax.random.PRNGKey(0))
-    state = restore_checkpoint(args.checkpoint, state)
+    state = restore_gan_checkpoint(args.checkpoint, state)
+    state = state.replace(g_params=eval_g_params(state))
 
     with open(args.img_list) as f:
         ds = TrainDataset([l.strip() for l in f if l.strip()])
@@ -55,8 +69,11 @@ def main() -> int:
     calib = [next(it) for _ in range(args.calib_batches)]
     scales = calibrate_synthesis(cfg, gen, state.g_params, calib)
 
+    rdt = jnp.bfloat16 if args.rescale_dtype == "bfloat16" else jnp.float32
     f32_fn = jax.jit(make_synthesize_fn(cfg, gen))
-    i8_fn = jax.jit(make_int8_synthesize_fn(cfg, gen, scales))
+    i8_fn = jax.jit(make_int8_synthesize_fn(
+        cfg, gen, scales, rescale_dtype=rdt, min_channels=args.min_channels
+    ))
 
     rows = []
     rng = jax.random.PRNGKey(0)
