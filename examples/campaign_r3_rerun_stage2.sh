@@ -5,6 +5,10 @@
 # ~2.7h at the 131 imgs/s/chip sustained rate of the prior session.
 set -ex
 cd "$(dirname "$0")/.."
+# round-4 sequencing: let the anchor-v2 detector retrain finish first --
+# both jobs want most of the chip HBM (b=128+remat GAN vs device-resident
+# pretrain stacks), so overlapping risks a device OOM on the critical path
+while [ -f /tmp/anchor_v2.pid ] && [ ! -f runs/pretrain_anchor2.done ]; do sleep 60; done
 mkdir -p runs/gan_rc
 time python -m tpgan_tpu.cli train --packed data_synth/gan/packed \
     --steps 10000 --identity-checkpoint runs/embedder/ckpt \

@@ -31,5 +31,26 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # jax_platforms=cpu the compiles run locally (observed llvm-worker
 # threads), so cached binaries match this host. Entries produced by the
 # tunneled-TPU remote-compile path would not — hence the dedicated dir.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu_local")
+# The dir is additionally keyed by a hash of the host's CPU feature set:
+# XLA's cache key does NOT include machine features, and /tmp can
+# outlive a VM reassignment to different silicon — a stale AOT entry
+# then aborts at execution ("Target machine feature +prefer-no-scatter
+# is not supported on the host machine" → SIGILL/abort, observed
+# round 4 on the full-size TP step).
+import hashlib  # noqa: E402
+
+def _cpu_feature_tag() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "nofeatures"
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    f"/tmp/jax_cache_cpu_{_cpu_feature_tag()}",
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

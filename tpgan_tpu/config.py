@@ -24,6 +24,16 @@ class PretrainLossConfig:
     alpha: float = 30.0  # location-loss weight
     beta: float = 0.1  # classification-loss weight
     ratio_non_background: float = 5.0  # background subsample multiple
+    # positive-set size: per GT point, positives = predictions within the
+    # (ratio * N)-th smallest distance (reference MobileNetV2.py:399-401;
+    # 0.1 = reference parity). With head_mode=anchor_offset the decode
+    # commits to the argmax-SCORE anchor, so training ~10% of all anchors
+    # as positives lets a far cell (noisy long-range offset) win the
+    # argmax — measured round 4 as 32 px decode error on a loss that was
+    # converging. 0.01 restricts positives to the cells around the GT,
+    # aligning what classification rewards with what regression does
+    # best (the anchor-recipe value; absolute-head recipes keep 0.1).
+    distance_threshold_ratio: float = 0.1
 
 
 @dataclass(frozen=True)

@@ -35,6 +35,7 @@ def _example_inputs(cfg: Config, batch: int):
 def export_synthesis(
     cfg: Config, gen, g_params, path: str, batch: int = 8,
     quant_scales=None, platforms: Optional[Tuple[str, ...]] = None,
+    rescale_dtype=None, min_channels: Optional[int] = None,
 ) -> None:
     """Serialise the synthesis function (params baked in) to ``path``.
 
@@ -53,7 +54,12 @@ def export_synthesis(
     if quant_scales is not None:
         from tpgan_tpu.ops.quant import make_int8_synthesize_fn
 
-        synthesize = make_int8_synthesize_fn(cfg, gen, quant_scales)
+        # rescale_dtype / min_channels: the int8 serving-tuning knobs
+        # (ops/quant.quant_config) bake into the artifact like the scales
+        synthesize = make_int8_synthesize_fn(
+            cfg, gen, quant_scales,
+            rescale_dtype=rescale_dtype, min_channels=min_channels,
+        )
     else:
         synthesize = make_synthesize_fn(cfg, gen)
     example, z = _example_inputs(cfg, batch)

@@ -187,6 +187,7 @@ def make_pretrain_step(
                 alpha=loss_cfg.alpha,
                 beta=loss_cfg.beta,
                 ratio_non_background=loss_cfg.ratio_non_background,
+                distance_threshold_ratio=loss_cfg.distance_threshold_ratio,
             )
             return total, (aux, mutated["batch_stats"], loc, cls)
 
@@ -229,6 +230,7 @@ def make_eval_step(cfg: Config, model: MobileNetV2):
             alpha=loss_cfg.alpha,
             beta=loss_cfg.beta,
             ratio_non_background=loss_cfg.ratio_non_background,
+            distance_threshold_ratio=loss_cfg.distance_threshold_ratio,
         )
         decoded = decode_landmarks(loc, cls)
         acc = landmark_accuracy(decoded.points, decoded.valid, labels)
