@@ -84,6 +84,57 @@ def test_anchor_offset_zero_raw_decodes_to_cell_centres():
     np.testing.assert_allclose(np.asarray(loc[0]), centres, atol=1e-4)
 
 
+def test_anchor_centres_helper_matches_head_grid():
+    # the loss's anchor-based assignment (losses/multitask.assign_points)
+    # must use EXACTLY the grid the head decodes from
+    from tpgan_tpu.models.mobilenet_v2 import anchor_centres
+
+    model = MobileNetV2(head_mode="anchor_offset")
+    x = jnp.zeros((1, SIZE, SIZE, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    params = _zero_loc_convs(variables["params"])
+    loc, _ = model.apply(
+        {"params": params, "batch_stats": variables["batch_stats"]}, x
+    )
+    np.testing.assert_allclose(
+        np.asarray(loc[0]), np.asarray(anchor_centres((SIZE, SIZE))),
+        atol=1e-4,
+    )
+
+
+def test_anchor_assignment_targets_near_anchors():
+    # with assign_points, positives are the anchors nearest each GT —
+    # independent of what the (random) predictions currently say
+    from tpgan_tpu.losses.multitask import multitask_landmark_loss
+    from tpgan_tpu.models.mobilenet_v2 import anchor_centres
+
+    anchors = anchor_centres((SIZE, SIZE))
+    n = anchors.shape[0]
+    rng = np.random.RandomState(0)
+    loc_pred = jnp.asarray(rng.rand(1, n, 2).astype(np.float32) * SIZE)
+    cls_pred = jnp.asarray(rng.randn(1, n, 5).astype(np.float32))
+    labels = jnp.asarray([[10.0, 10.0, 50.0, 10.0, 30.0, 30.0, 30.0, 50.0]])
+    total, aux = multitask_landmark_loss(
+        loc_pred, cls_pred, labels, jax.random.PRNGKey(0),
+        image_size=(SIZE, SIZE), distance_threshold_ratio=0.01,
+        assign_points=anchors,
+    )
+    assert np.isfinite(float(total))
+    # the threshold is the k-th smallest ANCHOR distance (k = max(int(
+    # 0.01 * N), 1)); co-located anchors (4-6 per cell) and equidistant
+    # cells tie, so the count is a small multiple of k — but bounded far
+    # below the ~0.1*N/label of prediction-based parity assignment
+    assert 4 <= float(aux["num_positives"]) <= 80
+    # and positives must actually be the NEAR anchors: rerunning with the
+    # random predictions as assign_points gives a different positive set
+    total2, aux2 = multitask_landmark_loss(
+        loc_pred, cls_pred, labels, jax.random.PRNGKey(0),
+        image_size=(SIZE, SIZE), distance_threshold_ratio=0.01,
+        assign_points=None,
+    )
+    assert float(aux2["location_loss"]) != float(aux["location_loss"])
+
+
 def test_anchor_offset_decodes_within_image_bounds():
     model = MobileNetV2(head_mode="anchor_offset")
     x = jnp.ones((2, SIZE, SIZE, 3)) * 0.5

@@ -44,14 +44,23 @@ def _per_example_loss(
     beta: float,
     distance_threshold_ratio: float,
     ratio_non_background: float,
+    assign_points: jnp.ndarray = None,  # (N, 2) static anchor centres
 ):
     n = loc_pred.shape[0]
     num_labels = 4
     lt = loc_true.reshape(num_labels, 2).astype(jnp.float32)
     lp = loc_pred.astype(jnp.float32)
 
-    # (N, 4) euclidean distances (MobileNetV2.py:388)
-    d = jnp.sqrt(jnp.sum(jnp.square(lp[:, None, :] - lt[None, :, :]), axis=-1) + 1e-20)
+    # (N, 4) euclidean ASSIGNMENT distances. Reference parity: measured
+    # from the PREDICTIONS (MobileNetV2.py:388). Anchor-offset heads pass
+    # ``assign_points`` (the static anchor grid) instead: the positive
+    # set must be a stable property of the grid, because the decoder
+    # commits to the argmax-score anchor — prediction-based assignment
+    # lets a far cell with an accidentally-close long-range offset become
+    # positive, and the scores never learn to prefer the near cells
+    # (measured round 4: 32-84 px decode error on converging losses).
+    ap = lp if assign_points is None else assign_points.astype(jnp.float32)
+    d = jnp.sqrt(jnp.sum(jnp.square(ap[:, None, :] - lt[None, :, :]), axis=-1) + 1e-20)
 
     # per-label distance threshold from the k smallest (:399-401)
     k = max(int(distance_threshold_ratio * n), 1)
@@ -125,10 +134,14 @@ def multitask_landmark_loss(
     beta: float = 0.1,
     distance_threshold_ratio: float = 0.1,
     ratio_non_background: float = 5.0,
+    assign_points: jnp.ndarray = None,
 ):
     """Batched multi-task landmark loss. Returns (mean total loss, aux
     dict of mean components). Defaults mirror config.py:25-27 and
-    MultiTaskLoss.__init__ (MobileNetV2.py:343)."""
+    MultiTaskLoss.__init__ (MobileNetV2.py:343). ``assign_points``:
+    optional (N, 2) static points (anchor centres) for the positive
+    assignment — see _per_example_loss; batch-invariant, so it is closed
+    over, not vmapped."""
     rngs = jax.random.split(rng, loc_pred.shape[0])
     fn = partial(
         _per_example_loss,
@@ -137,6 +150,7 @@ def multitask_landmark_loss(
         beta=beta,
         distance_threshold_ratio=distance_threshold_ratio,
         ratio_non_background=ratio_non_background,
+        assign_points=assign_points,
     )
     totals, aux = jax.vmap(fn)(loc_pred, cls_pred, loc_true, rngs)
     return jnp.mean(totals), jax.tree.map(jnp.mean, aux)

@@ -242,6 +242,44 @@ class MobileNetV2(nn.Module):
         )(features, image_hw=(x.shape[1], x.shape[2]))
 
 
+def anchor_centres(image_hw) -> jnp.ndarray:
+    """The (N, 2) anchor-centre grid in the SSD head's concatenation
+    order — per scale, (i, j, anchor) row-major, (x, y) pixel pairs.
+    Matches the anchor_offset decode exactly (tested: the head emits
+    this grid verbatim when its loc convs are zeroed).
+
+    Used by the anchor-based positive assignment in the multitask loss:
+    with head_mode=anchor_offset, "which anchors are positive" must be a
+    STATIC property of the grid, not of the moving predictions — the
+    decode commits to the argmax-score anchor, so classification has to
+    reward exactly the near-GT cells whose offsets regress best.
+    """
+    ih, iw = int(image_hw[0]), int(image_hw[1])
+
+    def down(v, n):
+        for _ in range(n):
+            v = (v + 1) // 2  # every downsample in the pyramid is k3 s2 p1
+        return v
+
+    # tap strides: block12 /16, conv2 /32, extra1 /64, extra3 /128,
+    # extra4 /256, extra6 /512 (reference taps MobileNetV2.py:199-213)
+    rows = []
+    for n_down, (_, anchors) in zip((4, 5, 6, 7, 8, 9), SSD_SCALES):
+        fh, fw = down(ih, n_down), down(iw, n_down)
+        sy, sx = ih / fh, iw / fw
+        cx = (jnp.arange(fw, dtype=jnp.float32) + 0.5) * sx
+        cy = (jnp.arange(fh, dtype=jnp.float32) + 0.5) * sy
+        grid = jnp.stack(
+            jnp.broadcast_arrays(cx[None, :], cy[:, None]), axis=-1
+        )  # (fh, fw, 2)
+        rows.append(
+            jnp.broadcast_to(
+                grid[:, :, None, :], (fh, fw, anchors, 2)
+            ).reshape(-1, 2)
+        )
+    return jnp.concatenate(rows, axis=0)
+
+
 def find_best_coordinates(
     locations: jnp.ndarray,
     classifications: jnp.ndarray,

@@ -157,6 +157,17 @@ def create_pretrain_state(
     return state, model, tx
 
 
+def _assign_points_for(cfg: Config, size_hw):
+    """Anchor-based positive assignment for the anchor_offset head
+    (losses/multitask.assign_points); None keeps the reference's
+    prediction-based assignment for the absolute head."""
+    if cfg.pretrain.head_mode == "anchor_offset":
+        from tpgan_tpu.models.mobilenet_v2 import anchor_centres
+
+        return anchor_centres(size_hw)
+    return None
+
+
 def make_pretrain_step(
     cfg: Config, model: MobileNetV2, tx: optax.GradientTransformation
 ):
@@ -188,6 +199,7 @@ def make_pretrain_step(
                 beta=loss_cfg.beta,
                 ratio_non_background=loss_cfg.ratio_non_background,
                 distance_threshold_ratio=loss_cfg.distance_threshold_ratio,
+                assign_points=_assign_points_for(cfg, size_hw),
             )
             return total, (aux, mutated["batch_stats"], loc, cls)
 
@@ -231,6 +243,7 @@ def make_eval_step(cfg: Config, model: MobileNetV2):
             beta=loss_cfg.beta,
             ratio_non_background=loss_cfg.ratio_non_background,
             distance_threshold_ratio=loss_cfg.distance_threshold_ratio,
+            assign_points=_assign_points_for(cfg, images.shape[1:3]),
         )
         decoded = decode_landmarks(loc, cls)
         acc = landmark_accuracy(decoded.points, decoded.valid, labels)
