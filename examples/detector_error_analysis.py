@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from tpgan_tpu.config import make_config
 from tpgan_tpu.data.celeba import CelebALandmarkDataset
 from tpgan_tpu.data.pipeline import bucketed_batch_iterator
-from tpgan_tpu.losses.decoder import decode_landmarks
+from tpgan_tpu.losses.decoder import decode_for_head_mode
 from tpgan_tpu.train.checkpoint import restore_checkpoint
 from tpgan_tpu.train.pretrain import (
     ACC_THRESHOLDS,
@@ -80,7 +80,7 @@ def main() -> int:
     @jax.jit
     def detect(images):
         loc, cls = model.apply(variables, images, train=False)
-        d = decode_landmarks(loc, cls, confidence_threshold=0.0, top_k=1)
+        d = decode_for_head_mode(model.head_mode, 0.0)(loc, cls)
         return d.points[:, :4, 0, :], d.scores[:, :4, 0]
 
     errs = {part: [] for part in PARTS}

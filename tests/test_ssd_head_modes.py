@@ -202,3 +202,49 @@ def test_detector_meta_sidecar_roundtrip(tmp_path):
         apply_detector_meta(fresh, str(tmp_path / "old")).pretrain.head_mode
         == "absolute"
     )
+
+
+def test_soft_decode_mass_cluster_rejects_confident_outlier():
+    """The decode for anchor_offset heads (losses/decoder.py
+    soft_decode_landmarks) selects the cluster with max total score
+    MASS, not the single top-scoring anchor — a lone confident outlier
+    far from the true mode must lose to many medium-score anchors
+    concentrated at the truth (the round-4 failure mode: 41% of
+    left-eye hard-argmax decodes were isolated >45 px outliers)."""
+    from tpgan_tpu.losses.decoder import (
+        decode_for_head_mode,
+        soft_decode_landmarks,
+    )
+
+    n, n_classes = 32, 5
+    locations = np.zeros((1, n, 2), np.float32)
+    logits = np.full((1, n, n_classes), -10.0, np.float32)
+    # 10 anchors clustered at (100, 100) with logit 3 each...
+    rng = np.random.RandomState(0)
+    locations[0, :10] = 100.0 + rng.uniform(-3, 3, size=(10, 2))
+    logits[0, :10, 0] = 3.0
+    # ...vs ONE outlier at (200, 40) with the single highest logit
+    locations[0, 10] = (200.0, 40.0)
+    logits[0, 10, 0] = 5.0
+
+    out = soft_decode_landmarks(
+        jnp.asarray(locations), jnp.asarray(logits), cluster_radius=20.0
+    )
+    pt = np.asarray(out.points)[0, 0, 0]
+    assert np.linalg.norm(pt - 100.0) < 4.0, pt
+    # and the score-weighted average interpolates INSIDE the cluster
+    assert np.asarray(out.scores)[0, 0, 0] > 0.0
+
+    # decode_for_head_mode routes by parameterization
+    soft = decode_for_head_mode("anchor_offset", 0.0)(
+        jnp.asarray(locations), jnp.asarray(logits)
+    )
+    np.testing.assert_allclose(np.asarray(soft.points), np.asarray(out.points))
+    hard = decode_for_head_mode("absolute", 0.0)(
+        jnp.asarray(locations), jnp.asarray(logits)
+    )
+    # the absolute-mode decode keeps reference argmax semantics: it
+    # picks the lone top-1 outlier
+    np.testing.assert_allclose(
+        np.asarray(hard.points)[0, 0, 0], (200.0, 40.0)
+    )

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from tpgan_tpu.data.patches import crop_patches_batch
-from tpgan_tpu.losses.decoder import decode_landmarks
+from tpgan_tpu.losses.decoder import decode_for_head_mode
 from tpgan_tpu.models.mobilenet_v2 import MobileNetV2
 
 
@@ -32,14 +32,15 @@ def detect_landmarks(
     detector_variables: Any,
     images: jnp.ndarray,  # (B, H, W, 3) float in [0, 1]
     confidence_threshold: float = 0.5,
+    head_mode: str = "absolute",
 ):
     """Run the landmark detector; returns ((B, 4, 2) points in input
-    pixel coordinates, (B, 4) validity mask)."""
-    model = MobileNetV2()
+    pixel coordinates, (B, 4) validity mask). ``head_mode``: the
+    checkpoint's SSD-head parameterization (train.pretrain.
+    apply_detector_meta reads it from the checkpoint sidecar)."""
+    model = MobileNetV2(head_mode=head_mode)
     loc, cls = model.apply(detector_variables, images)
-    decoded = decode_landmarks(
-        loc, cls, confidence_threshold=confidence_threshold, top_k=1
-    )
+    decoded = decode_for_head_mode(head_mode, confidence_threshold)(loc, cls)
     return decoded.points[:, :4, 0, :], decoded.valid[:, :4, 0]
 
 
@@ -73,7 +74,9 @@ def preprocess_from_landmarks5(
     return batch
 
 
-def make_full_inference_fn(generator, detector_input_size: int = 256):
+def make_full_inference_fn(
+    generator, detector_input_size: int = 256, head_mode: str = "absolute"
+):
     """(g_params, detector_vars, raw images (B,H,W,3) in [0,1], z) ->
     frontalized (B, 128, 128, 3) in [-1, 1]. Landmarks are detected on a
     fixed-size copy and rescaled; everything jits as one program."""
@@ -90,7 +93,9 @@ def make_full_inference_fn(generator, detector_input_size: int = 256):
             0.0,
             1.0,
         )
-        pts, _valid = detect_landmarks(detector_variables, det_in)
+        pts, _valid = detect_landmarks(
+            detector_variables, det_in, head_mode=head_mode
+        )
         # back to source coordinates
         pts = pts * jnp.asarray([w / s, h / s], jnp.float32)[None, None, :]
         lm5 = landmarks5_from_detection(pts)

@@ -648,7 +648,7 @@ def cmd_frontalize(args) -> int:
         restore_checkpoint,
         restore_gan_checkpoint,
     )
-    from tpgan_tpu.train.gan_trainer import create_gan_state
+    from tpgan_tpu.train.gan_trainer import create_gan_state, eval_g_params
     from tpgan_tpu.train.pretrain import (
         apply_detector_meta,
         create_pretrain_state,

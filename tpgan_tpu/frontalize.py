@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from tpgan_tpu.data.jit_preprocess import preprocess_for_synthesis_lm5
-from tpgan_tpu.losses.decoder import decode_landmarks
+from tpgan_tpu.losses.decoder import decode_for_head_mode
 
 
 def letterbox_batch(
@@ -85,9 +85,11 @@ def detect_lm5(
     """
     boxed, scale, (pad_left, pad_top) = letterbox_batch(images, detector_size)
     loc, cls = detector.apply(det_variables, boxed, train=False)
-    decoded = decode_landmarks(
-        loc, cls, confidence_threshold=confidence_threshold, top_k=1
-    )
+    # decode matches the head's parameterization (soft-top-k cluster for
+    # anchor_offset checkpoints, reference NMS+top-1 otherwise)
+    decoded = decode_for_head_mode(
+        getattr(detector, "head_mode", "absolute"), confidence_threshold
+    )(loc, cls)
     pts = decoded.points[:, :4, 0, :]  # classes 0-3 = parts; 4 = background
     valid = decoded.valid[:, :4, 0]
     scores = decoded.scores[:, :4, 0]

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import optax
 
 from tpgan_tpu.config import Config
-from tpgan_tpu.losses.decoder import decode_landmarks
+from tpgan_tpu.losses.decoder import decode_for_head_mode, decode_landmarks
 from tpgan_tpu.losses.multitask import multitask_landmark_loss
 from tpgan_tpu.models.mobilenet_v2 import MobileNetV2
 from tpgan_tpu.models.registry import get_model
@@ -209,7 +209,7 @@ def make_pretrain_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
-        decoded = decode_landmarks(loc, cls)
+        decoded = decode_for_head_mode(cfg.pretrain.head_mode)(loc, cls)
         acc = landmark_accuracy(decoded.points, decoded.valid, labels)
 
         new_state = PretrainState(
@@ -245,7 +245,7 @@ def make_eval_step(cfg: Config, model: MobileNetV2):
             distance_threshold_ratio=loss_cfg.distance_threshold_ratio,
             assign_points=_assign_points_for(cfg, images.shape[1:3]),
         )
-        decoded = decode_landmarks(loc, cls)
+        decoded = decode_for_head_mode(cfg.pretrain.head_mode)(loc, cls)
         acc = landmark_accuracy(decoded.points, decoded.valid, labels)
         # Per-part localization breakdown in the LIVE metric stream (the
         # reference prints component losses every step, MobileNetV2.py:488-531;
