@@ -72,6 +72,7 @@ def test_conv2d_matches_torch(cin, cout, k, s, p):
     np.testing.assert_allclose(nhwc_to_nchw(np.asarray(got)), want, **TOL)
 
 
+@pytest.mark.parametrize("algorithm", ["dilated", "subpixel"])
 @pytest.mark.parametrize(
     "cin,cout,k,s,p,op,hw",
     [
@@ -79,14 +80,16 @@ def test_conv2d_matches_torch(cin, cout, k, s, p):
         (6, 4, 8, 1, 0, 0, 1),   # deconv_8: k8 from 1x1 (D_and_G_model.py:218)
         (4, 4, 3, 4, 0, 1, 8),   # deconv_32: stride 4 (D_and_G_model.py:220)
         (3, 5, 5, 2, 2, 1, 7),
+        (3, 5, 4, 2, 1, 0, 6),   # negative-offset phase (needs low pad)
+        (2, 3, 3, 2, 0, 0, 5),   # out_len % s != 0 -> subpixel falls back
     ],
 )
-def test_conv_transpose2d_matches_torch(cin, cout, k, s, p, op, hw):
+def test_conv_transpose2d_matches_torch(cin, cout, k, s, p, op, hw, algorithm):
     x = rand_nchw(2, cin, hw, hw, seed=k * 7 + s)
     tdeconv = tnn.ConvTranspose2d(cin, cout, k, s, p, output_padding=op, bias=True)
     want = tdeconv(torch.from_numpy(x)).detach().numpy()
 
-    mod = ConvTranspose2d(cin, cout, k, s, p, op)
+    mod = ConvTranspose2d(cin, cout, k, s, p, op, algorithm=algorithm)
     params = {
         "params": {
             "kernel": jnp.asarray(deconv_w_to_ours(tdeconv.weight)),
@@ -473,3 +476,37 @@ def test_pad_channel_multiple_generator_traces():
     assert gp["conv0_conv"]["conv"]["kernel"].shape[2] == 3
     out = jax.eval_shape(gen.apply, variables, *args)
     assert out.img128_fake.shape == (b, 128, 128, 3)
+
+
+def test_generator_subpixel_mode_matches_deconv():
+    """G.upsample_mode="subpixel" is the SAME generator (identical param
+    tree — checkpoints interchange) computed via the phase-decomposed
+    deconvs; the full forward must match the dilated reference path to
+    float tolerance on every output."""
+    from tpgan_tpu.config import make_config
+    from tpgan_tpu.train.gan_trainer import create_gan_state, example_batch
+
+    small = {
+        "G": {"fm_multiplier": 0.25, "local_feature_layer_dim": 16},
+        "D": {"fm_multiplier": 0.25},
+        "compute_dtype": "float32",
+    }
+    cfg_a = make_config({**small, "G": {**small["G"], "upsample_mode": "deconv"}})
+    cfg_b = make_config({**small, "G": {**small["G"], "upsample_mode": "subpixel"}})
+    state, gen_a, *_ = create_gan_state(cfg_a, jax.random.PRNGKey(0))
+    _, gen_b, *_ = create_gan_state(cfg_b, jax.random.PRNGKey(0))
+
+    batch = example_batch(2)
+    z = jnp.zeros((2, cfg_a.G.zdim), jnp.float32)
+    kw = dict(use_dropout=False)
+    out_a = gen_a.apply(
+        {"params": state.g_params}, batch["img"], batch["left_eye"],
+        batch["right_eye"], batch["nose"], batch["mouth"], z, **kw)
+    out_b = gen_b.apply(
+        {"params": state.g_params}, batch["img"], batch["left_eye"],
+        batch["right_eye"], batch["nose"], batch["mouth"], z, **kw)
+    for name, a, b in zip(out_a._fields, out_a, out_b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=name,
+        )

@@ -281,9 +281,10 @@ def test_ema_tracking_and_eval_params():
             np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-9
         )
 
-    # eval_g_params: EMA when tracked, live otherwise
+    # eval_g_params: EMA when tracked, live otherwise (decay=0 opts out
+    # of the 0.99 default the round-4 A/B set)
     assert eval_g_params(state1) is state1.g_ema_params
-    cfg0 = make_config(SMALL)
+    cfg0 = make_config({**SMALL, "train": {"ema_decay": 0.0}})
     state0, *_ = create_gan_state(cfg0, jax.random.PRNGKey(0))
     assert state0.g_ema_params == {}
     assert eval_g_params(state0) is state0.g_params
@@ -317,7 +318,7 @@ def test_ema_state_checkpoint_roundtrip(tmp_path):
     and an EMA-tracking state round-trips its EMA leaves."""
     from tpgan_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 
-    cfg0 = make_config(SMALL)
+    cfg0 = make_config({**SMALL, "train": {"ema_decay": 0.0}})
     state0, *_ = create_gan_state(cfg0, jax.random.PRNGKey(0))
     save_checkpoint(str(tmp_path / "off"), 1, state0)
     tmpl0, *_ = create_gan_state(cfg0, jax.random.PRNGKey(1))
@@ -351,7 +352,7 @@ def test_enable_ema_on_pre_ema_checkpoint(tmp_path):
         save_checkpoint,
     )
 
-    cfg_off = make_config(SMALL)
+    cfg_off = make_config({**SMALL, "train": {"ema_decay": 0.0}})
     state_off, *_ = create_gan_state(cfg_off, jax.random.PRNGKey(0))
     save_checkpoint(str(tmp_path / "ck"), 7, state_off)
 

@@ -114,10 +114,15 @@ class TrainConfig:
     remat: bool = False  # rematerialise the G forward in backward passes
     # (jax.checkpoint): trades recompute FLOPs for HBM, enabling larger
     # per-chip batches
-    ema_decay: float = 0.0  # when > 0, keep an exponential moving
+    ema_decay: float = 0.99  # when > 0, keep an exponential moving
     # average of the generator weights updated inside the jitted step
     # (pure pytree lerp, fuses with the optimizer update); inference and
-    # eval prefer the EMA weights — the standard GAN quality lever
+    # eval prefer the EMA weights — the standard GAN quality lever.
+    # Default 0.99 set by the round-4 A/B (artifacts/eval_ema_ab_*_r4
+    # .json): EMA weights beat the no-EMA arm +0.12 dB PSNR and +0.060
+    # identity_sim at equal steps, while the SAME checkpoint's live
+    # weights score like the no-EMA arm — tracking is free, the win is
+    # entirely in the averaged weights. Set 0.0 to disable.
     grad_accum_steps: int = 1  # split each batch into this many
     # sequential microbatches inside the jitted step (lax.scan) and
     # average the grads before each optimizer update — the critic/GP
@@ -141,9 +146,12 @@ class GeneratorConfig:
     # this multiple for MXU lane alignment; semantics-preserving
     # (ops.blocks.Conv2d.pad_in_multiple). None = reference-parity layout.
     pad_channel_multiple: Optional[int] = None
-    # "deconv" = reference-parity transpose convs; "resize_conv" = opt-in
-    # nearest-upsample + 3x3 conv (checkerboard-artifact fix,
-    # ops.blocks.DeconvBlock.mode)
+    # "deconv" = reference-parity transpose convs (input-dilated form);
+    # "subpixel" = the SAME transpose convs (identical params/checkpoints)
+    # computed via the exact phase decomposition — no dilation-zero MACs;
+    # "resize_conv" = opt-in nearest-upsample + 3x3 conv with different
+    # params (checkerboard-artifact fix, the quality winner). See
+    # ops.blocks.DeconvBlock.mode.
     upsample_mode: str = "deconv"
 
 

@@ -179,6 +179,66 @@ class Conv2d(nn.Module):
         return y.astype(self.dtype)
 
 
+def _subpixel_plan(k: int, s: int, p: int, op: int):
+    """Per-dim phase plan for the exact transposed-conv decomposition.
+
+    In the dilated-forward-conv view, the dilated input is non-zero only
+    at positions ``padlo + s*i`` (padlo = k-1-p). An output at ``s*m+r``
+    therefore touches exactly the kernel taps ``ky ≡ (padlo-r) (mod s)``,
+    each reading input ``x[m + (r+ky-padlo)//s]`` — a small stride-1
+    conv per phase, zero wasted MACs.
+
+    Returns ``(taps, pad_lo, pad_hi, win, extra)``: ``taps[r]`` lists
+    ``(kernel_tap, input_offset)`` for phase r; pad the input by
+    ``(pad_lo, pad_hi)``; run a ``win``-wide VALID conv; each phase then
+    yields ``H + extra`` outputs (the interleaved total is the torch
+    ConvTranspose2d output length, which the caller checked is s*(H+extra)).
+    """
+    padlo = k - 1 - p
+    taps = []
+    offs = []
+    for r in range(s):
+        t = [(ky, (r + ky - padlo) // s) for ky in range((padlo - r) % s, k, s)]
+        taps.append(t)
+        offs += [d for _, d in t]
+    dmin = min(offs) if offs else 0
+    dmax = max(offs) if offs else 0
+    lo = max(0, -dmin)
+    extra = (k + op - 2 * p) // s - 1
+    hi = dmax + extra
+    win = lo + dmax + 1
+    return taps, lo, hi, win, extra
+
+
+def _subpixel_weights(wf, taps_h, lo_h, win_h, taps_w, lo_w, win_w):
+    """Rearrange a flipped deconv kernel (kh, kw, cin, cout) into the
+    single stride-1 conv weight (win_h, win_w, cin, sh*sw*cout) of the
+    subpixel decomposition (phase-major output blocks, matching the
+    depth-to-space reshape). Pure slicing/stack — runs at trace time on
+    the traced param, cost negligible next to the conv itself."""
+    cin, cout = wf.shape[2], wf.shape[3]
+    sh, sw = len(taps_h), len(taps_w)
+    lut = {}
+    for ry, th in enumerate(taps_h):
+        for ky, dy in th:
+            for rx, tw in enumerate(taps_w):
+                for kx, dx in tw:
+                    lut[(dy + lo_h, dx + lo_w, ry * sw + rx)] = (ky, kx)
+    zero = jnp.zeros((cin, cout), wf.dtype)
+    rows = []
+    for wy in range(win_h):
+        cols = []
+        for wx in range(win_w):
+            phases = [
+                wf[t[0], t[1]] if (t := lut.get((wy, wx, ph))) is not None
+                else zero
+                for ph in range(sh * sw)
+            ]
+            cols.append(jnp.concatenate(phases, axis=-1))
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)
+
+
 class ConvTranspose2d(nn.Module):
     """Exact torch ConvTranspose2d(k, s, p, output_padding) semantics.
 
@@ -192,6 +252,23 @@ class ConvTranspose2d(nn.Module):
 
     Kernel is stored (kh, kw, in, out), matching a transposed+flipped view
     of torch's (in, out, kh, kw) for checkpoint import.
+
+    ``algorithm`` selects HOW the same math runs on the MXU:
+
+    * ``"dilated"`` — the textbook forward-conv equivalence above. The
+      dilated input is mostly zeros (3/4 at stride 2, 15/16 at stride
+      4), and the conv pays MACs for every one of them.
+    * ``"subpixel"`` — the exact phase decomposition: output pixels
+      with the same (oy mod s, ox mod s) phase touch the same kernel
+      taps, so the transposed conv is ONE stride-1 VALID conv with a
+      trace-time-rearranged weight of shape (ceil-ish window, cin,
+      s^2*out) followed by a depth-to-space reshape. No zero MACs: 2.25x
+      fewer MACs for the k3/s2 trunk deconvs and 9-16x fewer for the
+      k3/s4 ``deconv_32``. Numerically equal to ``dilated`` up to
+      accumulation order (same params, same checkpoints — golden-tested
+      vs torch in tests/test_blocks.py). Shapes where the output length
+      is not a multiple of the stride (or p > k-1) fall back to
+      ``dilated``; every generator deconv qualifies.
     """
 
     in_channels: int
@@ -206,6 +283,7 @@ class ConvTranspose2d(nn.Module):
     dtype: Any = jnp.float32
     accum_f32: bool = True  # see Conv2d.accum_f32
     pad_in_multiple: Optional[int] = None  # see Conv2d.pad_in_multiple
+    algorithm: str = "dilated"  # "dilated" | "subpixel" (see docstring)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -240,10 +318,59 @@ class ConvTranspose2d(nn.Module):
             (kw - 1 - pw, kw - 1 - pw + opw),
         )
         if qmode == quant_lib.CALIB:
+            # same input either algorithm — one calibration serves both
             quant_lib.observe(self, x)
-        if qmode == quant_lib.INT8 and quant_lib.should_quantize(
+        subpixel = (
+            self.algorithm == "subpixel"
+            and (sh > 1 or sw > 1)
+            and kh - 1 - ph >= 0 and kw - 1 - pw >= 0
+            and (kh + oph - 2 * ph) % sh == 0
+            and (kw + opw - 2 * pw) % sw == 0
+        )
+        if subpixel:
+            taps_h, lo_h, hi_h, win_h, _ = _subpixel_plan(kh, sh, ph, oph)
+            taps_w, lo_w, hi_w, win_w, _ = _subpixel_plan(kw, sw, pw, opw)
+            subpixel = hi_h >= 0 and hi_w >= 0
+        wants_int8 = qmode == quant_lib.INT8 and quant_lib.should_quantize(
             cin_eff, self.out_channels
-        ):
+        )
+        if subpixel:
+            w_sub = _subpixel_weights(
+                jnp.flip(kernel, axis=(0, 1)),
+                taps_h, lo_h, win_h, taps_w, lo_w, win_w,
+            )
+            xp = jnp.pad(
+                x, ((0, 0), (lo_h, hi_h), (lo_w, hi_w), (0, 0))
+            )
+            if wants_int8:
+                y = quant_lib.int8_conv(
+                    xp,
+                    w_sub,
+                    quant_lib.stored_absmax(self),
+                    window_strides=(1, 1),
+                    padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            else:
+                y = lax.conv_general_dilated(
+                    xp,
+                    w_sub.astype(self.dtype),
+                    window_strides=(1, 1),
+                    padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    **(
+                        dict(preferred_element_type=jnp.float32)
+                        if self.accum_f32
+                        else {}
+                    ),
+                )
+            # depth-to-space: interleave the s^2 phase blocks
+            b, mh, mw, _ = y.shape
+            y = y.reshape(b, mh, mw, sh, sw, self.out_channels)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, mh * sh, mw * sw, self.out_channels
+            )
+        elif wants_int8:
             # input dilation just interleaves zeros — exact under int8
             y = quant_lib.int8_conv(
                 x,
@@ -421,7 +548,9 @@ class DeconvBlock(nn.Module):
     dtype: Any = jnp.float32
     accum_f32: bool = True
     pad_in_multiple: Optional[int] = None  # see Conv2d.pad_in_multiple
-    mode: str = "deconv"  # "deconv" (reference parity) | "resize_conv"
+    mode: str = "deconv"  # "deconv" (reference parity) | "subpixel"
+    # (same math/params as deconv, phase-decomposed — no dilation-zero
+    # MACs) | "resize_conv" (different params; the quality winner)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -463,7 +592,11 @@ class DeconvBlock(nn.Module):
                     )
                 return conv(h)
 
-        elif self.mode == "deconv":
+        elif self.mode in ("deconv", "subpixel"):
+            # "subpixel" = the same ConvTranspose2d (identical params —
+            # checkpoints interchange) computed via the exact phase
+            # decomposition instead of input dilation; see
+            # ConvTranspose2d.algorithm
             deconv = ConvTranspose2d(
                 self.in_channels,
                 self.out_channels,
@@ -478,6 +611,7 @@ class DeconvBlock(nn.Module):
                 dtype=self.dtype,
                 accum_f32=self.accum_f32,
                 pad_in_multiple=self.pad_in_multiple,
+                algorithm="subpixel" if self.mode == "subpixel" else "dilated",
                 name="deconv",
             )
         else:
