@@ -24,7 +24,10 @@ EV="python -m tpgan_tpu.cli eval --batch-size 16 --z-samples 4 \
 timeout 2400 $EV > artifacts/eval_heldout_gt_r4.json
 timeout 2400 $EV --detector-checkpoint runs/pretrain_v2/ckpt/best \
     > artifacts/eval_heldout_fullstack_base_r4.json
-timeout 2400 $EV --detector-checkpoint runs/pretrain_anchor3/ckpt/best \
+# latest step (2960), not best/: the decode sweep showed the hard-
+# decode-selected "best" (2800) underperforms the tail checkpoints
+# under the tuned soft decode (artifacts/decode_sweep_r4.json)
+timeout 2400 $EV --detector-checkpoint runs/pretrain_anchor3/ckpt \
     > artifacts/eval_heldout_fullstack_r4.json
 echo "fullstack evals rc=$?"
 
