@@ -245,3 +245,53 @@ def test_full_size_tp_step_matches_dp(tmp_path):
         assert abs(a - b) <= 1e-3 + 1e-3 * abs(b), (k, a, b)
     # TP must shard a meaningful fraction of the full-size weights
     assert bytes_by_mesh[(4, 2)] < 0.8 * bytes_by_mesh[(8, 1)], bytes_by_mesh
+
+
+def test_tp_synthesis_subpixel_matches_single_device():
+    """The subpixel transposed-conv algorithm (ops/blocks, phase-
+    decomposed deconvs + depth-to-space reshapes) must compose with the
+    dp+tp GSPMD shardings: same synthesis output sharded vs single
+    device. The reshape/transpose interleave is new geometry the TP
+    rules never saw in rounds 1-3."""
+    import numpy as np
+
+    from tpgan_tpu.config import make_config
+    from tpgan_tpu.data.synthetic import synthetic_gan_batch
+    from tpgan_tpu.parallel.sharding import batch_shardings, shard_gan_state
+    from tpgan_tpu.train.gan_trainer import (
+        create_gan_state,
+        make_synthesize_fn,
+    )
+
+    cfg = make_config({
+        "mesh": {"data": 4, "model": 2},
+        "G": {"fm_multiplier": 0.25, "local_feature_layer_dim": 16,
+              "upsample_mode": "subpixel"},
+        "D": {"fm_multiplier": 0.25},
+        "compute_dtype": "float32",
+    })
+    mesh = make_mesh(cfg.mesh)
+    state, gen, *_ = create_gan_state(cfg, jax.random.PRNGKey(0))
+    state = jax.device_get(state)
+    batch = {k: np.asarray(v) for k, v in synthetic_gan_batch(8).items()}
+    z = np.zeros((8, cfg.G.zdim), np.float32)
+
+    synthesize = make_synthesize_fn(cfg, gen)
+    want = jax.jit(synthesize)(
+        state.g_params,
+        {k: jnp.asarray(v) for k, v in batch.items()},
+        jnp.asarray(z),
+    )
+
+    state_sh = shard_gan_state(mesh, state, min_shard_dim=16)
+    batch_sh = batch_shardings(mesh, batch, cfg.mesh.data_axis)
+    sharded_params = jax.tree.map(
+        jax.device_put, state.g_params, state_sh.g_params
+    )
+    sharded_batch = jax.tree.map(jax.device_put, batch, batch_sh)
+    got = jax.jit(
+        synthesize, in_shardings=(state_sh.g_params, batch_sh, None)
+    )(sharded_params, sharded_batch, jnp.asarray(z))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+    )
