@@ -58,6 +58,15 @@ def main() -> int:
     ap.add_argument("--buckets", default="256,320")
     ap.add_argument("--val-ratio", type=float, default=0.02)
     ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--tta", action="store_true",
+                    help="measure through the serving detect_lm5 path "
+                         "with horizontal-mirror TTA (letterboxed to "
+                         "--detector-size)")
+    ap.add_argument("--serving", action="store_true",
+                    help="measure through detect_lm5 WITHOUT TTA — the "
+                         "apples-to-apples control for --tta (letterbox "
+                         "rescale included either way)")
+    ap.add_argument("--detector-size", type=int, default=256)
     args = ap.parse_args()
 
     buckets = tuple(int(b) for b in args.buckets.split(","))
@@ -77,11 +86,22 @@ def main() -> int:
     state = restore_checkpoint(args.checkpoint, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    @jax.jit
-    def detect(images):
-        loc, cls = model.apply(variables, images, train=False)
-        d = decode_for_head_mode(model.head_mode, 0.0)(loc, cls)
-        return d.points[:, :4, 0, :], d.scores[:, :4, 0]
+    if args.tta or args.serving:
+        from tpgan_tpu.frontalize import detect_lm5
+
+        @jax.jit
+        def detect(images):
+            lm5, _valid, scores = detect_lm5(
+                model, variables, images,
+                detector_size=args.detector_size, tta=args.tta,
+            )
+            return lm5[:, :4, :], scores
+    else:
+        @jax.jit
+        def detect(images):
+            loc, cls = model.apply(variables, images, train=False)
+            d = decode_for_head_mode(model.head_mode, 0.0)(loc, cls)
+            return d.points[:, :4, 0, :], d.scores[:, :4, 0]
 
     errs = {part: [] for part in PARTS}
     confs = {part: [] for part in PARTS}

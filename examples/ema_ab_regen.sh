@@ -80,7 +80,11 @@ timeout 1800 $EV --checkpoint runs/ema_ab/base/ckpt \
     > artifacts/eval_ema_ab_base_r4.json
 timeout 1800 $EV --set train.ema_decay=0.99 --checkpoint runs/ema_ab/ema/ckpt \
     > artifacts/eval_ema_ab_ema_r4.json
-timeout 1800 $EV --checkpoint runs/ema_ab/ema/ckpt \
+# --g-weights live: ema_decay now DEFAULTS to 0.99, so a plain eval of
+# the ema arm's checkpoint would restore+score the EMA weights again
+# (that regression produced an ema_live file identical to the ema file
+# once; caught and reverted in round 4)
+timeout 1800 $EV --g-weights live --checkpoint runs/ema_ab/ema/ckpt \
     > artifacts/eval_ema_ab_ema_live_r4.json
 for f in artifacts/eval_ema_ab_*_r4.json; do
   echo "== $f"; python -c "

@@ -58,7 +58,9 @@ def test_detect_lm5_unmaps_to_source_frame():
     boxed_pts = src_pts * scale + np.asarray([pl, pt], np.float32)
     det = _StubDetector(boxed_pts)
     images = jnp.zeros((2, h, w, 3), jnp.uint8)
-    lm5, valid, scores = detect_lm5(det, {}, images, detector_size=size)
+    lm5, valid, scores = detect_lm5(
+        det, {}, images, detector_size=size, allow_upscale=False
+    )
     lm5 = np.asarray(lm5)
     assert lm5.shape == (2, 5, 2) and np.asarray(valid).all()
     assert np.asarray(scores).shape == (2, 4)
@@ -66,6 +68,51 @@ def test_detect_lm5_unmaps_to_source_frame():
     np.testing.assert_allclose(lm5[0, :4], src_pts, atol=1e-4)
     # mouth midpoint duplicated into both corner slots
     np.testing.assert_allclose(lm5[0, 3], lm5[0, 4])
+
+
+def test_detect_lm5_upscale_divides_error_by_scale():
+    """Default serving geometry: a small source image is letterboxed UP
+    to the detector frame (scale 2 for 128->256), and detector-frame
+    coordinates unmap by dividing by that scale — so detector-frame
+    error shrinks 2x in the source frame (the round-4 full-stack-gap
+    root cause: artifacts/serving_scale_probe_r4.json)."""
+    h = w = 128
+    size = 256  # scale = 2.0, no pad
+    src_pts = np.asarray(
+        [[30.0, 60.0], [80.0, 58.0], [55.0, 90.0], [54.0, 110.0]], np.float32
+    )
+    det = _StubDetector(src_pts * 2.0)
+    images = jnp.zeros((2, h, w, 3), jnp.uint8)
+    lm5, valid, _scores = detect_lm5(det, {}, images, detector_size=size)
+    np.testing.assert_allclose(np.asarray(lm5)[0, :4], src_pts, atol=1e-4)
+    assert np.asarray(valid).all()
+    # a 4 px detector-frame perturbation lands 2 px off in source frame
+    det2 = _StubDetector(src_pts * 2.0 + np.asarray([4.0, 0.0]))
+    lm5b, _, _ = detect_lm5(det2, {}, images, detector_size=size)
+    np.testing.assert_allclose(
+        np.asarray(lm5b)[0, :4] - np.asarray(lm5)[0, :4],
+        np.tile([2.0, 0.0], (4, 1)), atol=1e-4,
+    )
+
+
+def test_eval_g_params_select():
+    from tpgan_tpu.train.gan_trainer import GANTrainState, eval_g_params
+
+    live = {"w": jnp.ones(2)}
+    ema = {"w": jnp.full(2, 3.0)}
+    s_ema = GANTrainState(step=0, g_params=live, d_params={}, g_opt_state=None, d_opt_state=None, g_ema_params=ema)
+    s_live = GANTrainState(step=0, g_params=live, d_params={}, g_opt_state=None, d_opt_state=None)
+    assert eval_g_params(s_ema) is ema
+    assert eval_g_params(s_ema, "ema") is ema
+    assert eval_g_params(s_ema, "live") is live
+    assert eval_g_params(s_live) is live
+    assert eval_g_params(s_live, "live") is live
+    import pytest
+
+    with pytest.raises(ValueError):
+        eval_g_params(s_live, "ema")
+    with pytest.raises(ValueError):
+        eval_g_params(s_ema, "bogus")
 
 
 def test_frontalize_end_to_end_shapes():
@@ -93,3 +140,86 @@ def test_frontalize_end_to_end_shapes():
     assert scores.shape == (2, 4)
     assert np.isfinite(np.asarray(fake)).all()
     assert np.isfinite(np.asarray(lm5)).all()
+
+
+class _ContentStubDetector:
+    """Emits per-part candidates around the intensity centroid of each
+    image, so the mirrored half of a TTA batch genuinely produces
+    mirrored coordinates. ``sabotage_left=True`` additionally emits a
+    far-off low-confidence nose whenever the marker sits in the LEFT
+    half — i.e. only for the unmirrored pass of a left-marker image."""
+
+    head_mode = "absolute"
+
+    def __init__(self, sabotage_left=False):
+        self.sabotage_left = sabotage_left
+
+    def clone(self, **kw):
+        return self
+
+    def apply(self, variables, x, train=False):
+        xf = x[..., 0].astype(jnp.float32)
+        tot = jnp.sum(xf, axis=(1, 2)) + 1e-9
+        ys = jnp.sum(
+            xf * jnp.arange(x.shape[1], dtype=jnp.float32)[None, :, None],
+            axis=(1, 2)) / tot
+        xs = jnp.sum(
+            xf * jnp.arange(x.shape[2], dtype=jnp.float32)[None, None, :],
+            axis=(1, 2)) / tot
+        c = jnp.stack([xs, ys], axis=-1)  # (B, 2)
+        offs = jnp.asarray(
+            [[-10.0, 0.0], [10.0, 0.0], [0.0, 10.0], [0.0, 20.0]]
+        )
+        loc = c[:, None, :] + offs[None]
+        cls = jnp.full((x.shape[0], 4, 5), -10.0)
+        cls = cls.at[:, jnp.arange(4), jnp.arange(4)].set(10.0)
+        if self.sabotage_left:
+            left = xs < x.shape[2] / 2  # marker in left half
+            bad_nose = jnp.asarray([200.0, 30.0])
+            loc = loc.at[:, 2, :].set(
+                jnp.where(left[:, None], bad_nose[None], loc[:, 2, :])
+            )
+            # lower confidence for the sabotaged nose
+            cls = cls.at[:, 2, 2].set(jnp.where(left, 2.0, 10.0))
+        return loc, cls
+
+
+def test_detect_lm5_tta_mirror_swap_and_fuse():
+    """TTA: the mirrored decode maps back exactly (x -> size-1-x, eye
+    classes swapped) and fuses with the direct decode. A wrong/missing
+    class swap would fuse the eyes toward the midpoint — the wide agree
+    radius makes that detectable as a shifted output."""
+    size = 256
+    img = np.zeros((1, size, size, 3), np.uint8)
+    img[0, 100, 60, :] = 255  # marker at (x=60, y=100)
+    det = _ContentStubDetector()
+    lm5, valid, scores = detect_lm5(
+        det, {}, jnp.asarray(img), detector_size=size,
+        tta=True, tta_agree_radius=25.0,
+    )
+    want = np.asarray(
+        [[50.0, 100.0], [70.0, 100.0], [60.0, 110.0], [60.0, 120.0]]
+    )
+    np.testing.assert_allclose(np.asarray(lm5)[0, :4], want, atol=0.75)
+    assert np.asarray(valid).all()
+
+
+def test_detect_lm5_tta_picks_confident_pass_on_disagreement():
+    """When the two passes disagree beyond the radius, TTA keeps the
+    higher-confidence point — the far-off low-score nose of the direct
+    pass loses to the mirrored pass's correct one."""
+    size = 256
+    img = np.zeros((1, size, size, 3), np.uint8)
+    img[0, 100, 60, :] = 255
+    det = _ContentStubDetector(sabotage_left=True)
+    # without TTA the sabotaged nose wins
+    lm5_plain, _, _ = detect_lm5(det, {}, jnp.asarray(img), detector_size=size)
+    np.testing.assert_allclose(
+        np.asarray(lm5_plain)[0, 2], [200.0, 30.0], atol=0.75
+    )
+    lm5, _, scores = detect_lm5(
+        det, {}, jnp.asarray(img), detector_size=size, tta=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(lm5)[0, 2], [60.0, 110.0], atol=0.75
+    )

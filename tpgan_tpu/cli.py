@@ -378,7 +378,7 @@ def cmd_eval(args) -> int:
     state, gen, *_ = create_gan_state(cfg, jax.random.PRNGKey(0))
     if args.checkpoint:
         state = restore_gan_checkpoint(args.checkpoint, state)
-    g_eval_params = eval_g_params(state)
+    g_eval_params = eval_g_params(state, getattr(args, "g_weights", "auto"))
     synthesize = jax.jit(make_synthesize_fn(cfg, gen))
 
     frontalize = det_vars = None
@@ -397,7 +397,9 @@ def cmd_eval(args) -> int:
         det_vars = {"params": det_state.params,
                     "batch_stats": det_state.batch_stats}
         frontalize = jax.jit(make_frontalize_fn(
-            cfg, detector, gen, detector_size=args.detector_size
+            cfg, detector, gen, detector_size=args.detector_size,
+            tta=getattr(args, "detector_tta", False),
+            allow_upscale=not getattr(args, "no_detector_upscale", False),
         ))
 
     embed = None
@@ -561,7 +563,9 @@ def cmd_synthesize(args) -> int:
     synthesize = jax.jit(make_synthesize_fn(cfg, gen))
     batch = {k: jnp.asarray(v)[None] for k, v in item.items()}
     z = jax.random.normal(jax.random.PRNGKey(args.seed), (1, cfg.G.zdim))
-    out = np.asarray(synthesize(eval_g_params(state), batch, z))[0]
+    out = np.asarray(synthesize(
+        eval_g_params(state, getattr(args, "g_weights", "auto")), batch, z
+    ))[0]
 
     from PIL import Image
 
@@ -589,7 +593,7 @@ def cmd_export(args) -> int:
     state, gen, *_ = create_gan_state(cfg, jax.random.PRNGKey(0))
     if args.checkpoint:
         state = restore_gan_checkpoint(args.checkpoint, state)
-    params = eval_g_params(state)
+    params = eval_g_params(state, getattr(args, "g_weights", "auto"))
 
     scales = None
     if args.int8:
@@ -667,7 +671,9 @@ def cmd_frontalize(args) -> int:
         state = restore_gan_checkpoint(args.checkpoint, state)
 
     frontalize = jax.jit(make_frontalize_fn(
-        cfg, detector, gen, detector_size=args.detector_size
+        cfg, detector, gen, detector_size=args.detector_size,
+        tta=getattr(args, "detector_tta", False),
+        allow_upscale=not getattr(args, "no_detector_upscale", False),
     ))
 
     os.makedirs(args.output, exist_ok=True)
@@ -677,7 +683,8 @@ def cmd_frontalize(args) -> int:
         with Image.open(path) as im:
             arr = np.asarray(im.convert("RGB"), np.uint8)
         fake, lm5, scores = frontalize(
-            eval_g_params(state), det_vars, jnp.asarray(arr)[None], z
+            eval_g_params(state, getattr(args, "g_weights", "auto")),
+            det_vars, jnp.asarray(arr)[None], z,
         )
         scores = np.asarray(scores)[0]
         low = [f"{n}={s:.2f}" for n, s in zip(part_names, scores)
@@ -787,6 +794,19 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "trained detector instead of the ground-truth "
                         "annotations)")
     p.add_argument("--detector-size", type=int, default=256)
+    p.add_argument("--detector-tta", action="store_true",
+                   help="horizontal-mirror detector TTA (one doubled "
+                        "batch; suppresses rare far-off part decodes)")
+    p.add_argument("--no-detector-upscale", action="store_true",
+                   help="letterbox small probes at native scale instead "
+                        "of upscaling to the detector frame (the pre-r4 "
+                        "behavior; costs ~2x detector error on 128 px "
+                        "probes — artifacts/serving_scale_probe_r4.json)")
+    p.add_argument("--g-weights", choices=("auto", "ema", "live"),
+                   default="auto",
+                   help="generator weights to score: auto = EMA when the "
+                        "checkpoint tracks one, else live; ema/live force "
+                        "one side (EMA-vs-live A/Bs)")
 
     p = sub.add_parser("prepare-data",
                        help="build the Multi-PIE training layout")
@@ -813,6 +833,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--min-confidence", type=float, default=0.5,
                    help="warn when any part's detection confidence is "
                         "below this (detection still commits to argmax)")
+    p.add_argument("--detector-tta", action="store_true",
+                   help="horizontal-mirror detector TTA")
+    p.add_argument("--no-detector-upscale", action="store_true",
+                   help="letterbox small inputs at native scale instead "
+                        "of upscaling to the detector frame")
+    p.add_argument("--g-weights", choices=("auto", "ema", "live"),
+                   default="auto")
 
     p = sub.add_parser("synthesize", help="profile -> frontal synthesis")
     common(p)
@@ -821,6 +848,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="file with 68 space-separated landmark coords")
     p.add_argument("--output", default="frontal.png")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--g-weights", choices=("auto", "ema", "live"),
+                   default="auto")
 
     p = sub.add_parser(
         "export", help="serialise synthesis to a StableHLO serving artifact"
@@ -837,6 +866,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="packed dataset dir for int8 activation "
                         "calibration (default: synthetic protocol)")
     p.add_argument("--calib-items", type=int, default=64)
+    p.add_argument("--g-weights", choices=("auto", "ema", "live"),
+                   default="auto")
     p.add_argument("--platforms", default=None,
                    help="comma list of lowering targets to bake into the "
                         "artifact (e.g. cpu,tpu); default: the current "

@@ -75,6 +75,9 @@ def detect_lm5(
     images: jnp.ndarray,  # (B, H, W, 3) uint8 or float in [0, 1]
     detector_size: int = 256,
     confidence_threshold: float = 0.0,
+    tta: bool = False,
+    tta_agree_radius: float = 15.0,
+    allow_upscale: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Detect the 4 part landmarks and expand to the 5-point synthesis
     convention. Returns (lm5 (B, 5, 2) source-frame pixels, valid (B, 4)
@@ -82,9 +85,32 @@ def detect_lm5(
     ``confidence_threshold=0`` always commits to the best-scoring
     location per part (the serving choice — a face is assumed present);
     the scores let the caller flag low-confidence detections either way.
+
+    ``tta=True`` adds horizontal-mirror test-time augmentation: ONE
+    doubled-batch detector forward over [images, mirror(images)], the
+    mirrored decode mapped back (x -> size-1-x, left/right eye classes
+    swapped), then per part a score-weighted mean when the two passes
+    agree within ``tta_agree_radius`` px (detector frame) and the
+    higher-confidence point otherwise. Targets the rare far-off decode
+    (the nose >45 px tail, artifacts/decode_sweep_r4.json) at the cost
+    of 2x the DETECTOR forward only — cheap next to the generator.
+
+    ``allow_upscale=True`` (default) letterboxes small inputs UP to the
+    detector frame. The detector trains on faces filling 160-320 px of
+    the frame (data_synth pretrain sizes), so a 128 px serving probe
+    left at native scale is both out-of-distribution AND maps detector-
+    frame error back 1:1; upscaled, the same error divides by the scale
+    factor (2x for 128->256 — measured in
+    artifacts/serving_scale_probe_r4.json).
     """
-    boxed, scale, (pad_left, pad_top) = letterbox_batch(images, detector_size)
-    loc, cls = detector.apply(det_variables, boxed, train=False)
+    boxed, scale, (pad_left, pad_top) = letterbox_batch(
+        images, detector_size, allow_upscale=allow_upscale
+    )
+    det_in = (
+        jnp.concatenate([boxed, boxed[:, :, ::-1, :]], axis=0)
+        if tta else boxed
+    )
+    loc, cls = detector.apply(det_variables, det_in, train=False)
     # decode matches the head's parameterization (soft-top-k cluster for
     # anchor_offset checkpoints, reference NMS+top-1 otherwise)
     decoded = decode_for_head_mode(
@@ -93,6 +119,26 @@ def detect_lm5(
     pts = decoded.points[:, :4, 0, :]  # classes 0-3 = parts; 4 = background
     valid = decoded.valid[:, :4, 0]
     scores = decoded.scores[:, :4, 0]
+    if tta:
+        b = boxed.shape[0]
+        pts, pts_m = pts[:b], pts[b:]
+        scores, scores_m = scores[:b], scores[b:]
+        valid = valid[:b]
+        # back to the unmirrored frame: x -> size-1-x (pixel centres),
+        # and mirroring swaps the left/right eye classes
+        pts_m = pts_m.at[..., 0].set(detector_size - 1 - pts_m[..., 0])
+        swap = jnp.asarray([1, 0, 2, 3])
+        pts_m, scores_m = pts_m[:, swap], scores_m[:, swap]
+        d = jnp.sqrt(jnp.sum(jnp.square(pts - pts_m), axis=-1) + 1e-12)
+        agree = (d <= tta_agree_radius)[..., None]
+        wsum = (scores + scores_m)[..., None]
+        fused = (
+            pts * scores[..., None] + pts_m * scores_m[..., None]
+        ) / jnp.maximum(wsum, 1e-12)
+        pick = jnp.where((scores >= scores_m)[..., None], pts, pts_m)
+        pts = jnp.where(agree, fused, pick)
+        scores = jnp.maximum(scores, scores_m)
+        valid = scores > confidence_threshold
     pad = jnp.asarray([pad_left, pad_top], jnp.float32)
     pts = (pts - pad[None, None, :]) / scale
     # 5-point form: mouth midpoint duplicated into both corner slots
@@ -105,6 +151,8 @@ def make_frontalize_fn(
     detector,
     gen,
     detector_size: int = 256,
+    tta: bool = False,
+    allow_upscale: bool = True,
 ):
     """Build the fused raw-image -> frontal-face program.
 
@@ -123,7 +171,8 @@ def make_frontalize_fn(
 
     def frontalize(g_params, det_variables, images, z, batch_stats=None):
         lm5, _valid, scores = detect_lm5(
-            detector, det_variables, images, detector_size=detector_size
+            detector, det_variables, images, detector_size=detector_size,
+            tta=tta, allow_upscale=allow_upscale,
         )
         batch = preprocess_for_synthesis_lm5(images, lm5)
         fake = synthesize(g_params, batch, z, batch_stats=batch_stats)

@@ -59,10 +59,24 @@ class GANTrainState(flax.struct.PyTreeNode):
     g_ema_params: Any = flax.struct.field(default_factory=dict)
 
 
-def eval_g_params(state: "GANTrainState"):
-    """The generator weights inference/eval should use: the EMA copy
-    when one is being tracked (train.ema_decay > 0), else the live
-    weights."""
+def eval_g_params(state: "GANTrainState", select: str = "auto"):
+    """The generator weights inference/eval should use.
+
+    ``select='auto'`` (default): the EMA copy when one is being tracked
+    (train.ema_decay > 0), else the live weights. ``'ema'`` / ``'live'``
+    force one side — needed e.g. for EMA-vs-live A/Bs, where 'auto'
+    would silently score the EMA arm twice now that ema_decay defaults
+    on (the round-4 eval_ema_ab_ema_live regression)."""
+    if select == "live":
+        return state.g_params
+    if select == "ema":
+        if not state.g_ema_params:
+            raise ValueError(
+                "checkpoint tracks no EMA weights (train.ema_decay=0)"
+            )
+        return state.g_ema_params
+    if select != "auto":
+        raise ValueError(f"select must be auto|ema|live, got {select!r}")
     return state.g_ema_params if state.g_ema_params else state.g_params
 
 
