@@ -138,3 +138,40 @@ def test_export_consumed_out_of_process(tmp_path):
         want = load_synthesis(path)(batch, z)
         np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5,
                                    atol=1e-5)
+
+
+def test_export_frontalize_roundtrip(tmp_path):
+    """Full-stack artifact: raw uint8 -> detector -> crops -> G, params
+    baked — deserialized output must match the live fused program."""
+    from tpgan_tpu.frontalize import make_frontalize_fn
+    from tpgan_tpu.serving import export_frontalize
+    from tpgan_tpu.train.pretrain import create_pretrain_state
+
+    det_state, detector, _tx = create_pretrain_state(
+        CFG, jax.random.PRNGKey(0)
+    )
+    det_vars = {"params": det_state.params,
+                "batch_stats": det_state.batch_stats}
+    state, gen, *_ = create_gan_state(CFG, jax.random.PRNGKey(1))
+
+    path = str(tmp_path / "frontalize.stablehlo")
+    export_frontalize(
+        CFG, detector, det_vars, gen, state.g_params, path,
+        batch=2, input_hw=(96, 80), detector_size=128,
+    )
+
+    fn = load_synthesis(path)  # generic StableHLO loader
+    rng = np.random.RandomState(0)
+    images = jnp.asarray((rng.rand(2, 96, 80, 3) * 255).astype(np.uint8))
+    z = jnp.zeros((2, CFG.G.zdim), jnp.float32)
+    fake, lm5, scores = fn(images, z)
+    assert fake.shape == (2, 128, 128, 3)
+    assert lm5.shape == (2, 5, 2)
+    assert scores.shape == (2, 4)
+
+    live = jax.jit(make_frontalize_fn(CFG, detector, gen, detector_size=128))
+    fake_l, lm5_l, scores_l = live(state.g_params, det_vars, images, z)
+    np.testing.assert_allclose(np.asarray(fake), np.asarray(fake_l),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lm5), np.asarray(lm5_l),
+                               rtol=1e-5, atol=1e-4)

@@ -626,6 +626,43 @@ def cmd_export(args) -> int:
         tuple(p.strip() for p in args.platforms.split(",") if p.strip())
         if args.platforms else None
     )
+    if getattr(args, "detector_checkpoint", None):
+        # full-stack artifact: raw uint8 -> detector -> crops -> G
+        if args.int8:
+            print("error: --int8 full-stack export not supported yet "
+                  "(quantization calibrates the synthesis graph only); "
+                  "drop --int8 or export without --detector-checkpoint",
+                  file=sys.stderr)
+            return 2
+        from tpgan_tpu.serving import export_frontalize
+        from tpgan_tpu.train.checkpoint import restore_checkpoint
+        from tpgan_tpu.train.pretrain import (
+            apply_detector_meta,
+            create_pretrain_state,
+        )
+
+        cfg = apply_detector_meta(cfg, args.detector_checkpoint)
+        det_state, detector, _tx = create_pretrain_state(
+            cfg, jax.random.PRNGKey(0)
+        )
+        det_state = restore_checkpoint(args.detector_checkpoint, det_state)
+        det_vars = {"params": det_state.params,
+                    "batch_stats": det_state.batch_stats}
+        hw = tuple(int(s) for s in args.input_size.split("x"))
+        if len(hw) == 1:
+            hw = (hw[0], hw[0])
+        export_frontalize(
+            cfg, detector, det_vars, gen, params, args.output,
+            batch=args.batch, input_hw=hw,
+            detector_size=args.detector_size,
+            tta=getattr(args, "detector_tta", False),
+            allow_upscale=not getattr(args, "no_detector_upscale", False),
+            platforms=platforms,
+        )
+        print(f"wrote {args.output} (full-stack {cfg.compute_dtype}, "
+              f"input {hw[0]}x{hw[1]}, batch={args.batch}, platforms="
+              f"{','.join(platforms) if platforms else 'current backend'})")
+        return 0
     export_synthesis(
         cfg, gen, params, args.output, batch=args.batch,
         quant_scales=scales, platforms=platforms,
@@ -868,6 +905,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--calib-items", type=int, default=64)
     p.add_argument("--g-weights", choices=("auto", "ema", "live"),
                    default="auto")
+    p.add_argument("--detector-checkpoint", default=None,
+                   help="ALSO bake the landmark detector in: export the "
+                        "full-stack raw-image -> frontal-face program "
+                        "(serving needs no landmark annotations)")
+    p.add_argument("--input-size", default="128",
+                   help="static input HxW for the full-stack artifact "
+                        "(e.g. 128 or 480x640); one artifact per "
+                        "supported camera resolution")
+    p.add_argument("--detector-size", type=int, default=256)
+    p.add_argument("--detector-tta", action="store_true")
+    p.add_argument("--no-detector-upscale", action="store_true")
     p.add_argument("--platforms", default=None,
                    help="comma list of lowering targets to bake into the "
                         "artifact (e.g. cpu,tpu); default: the current "

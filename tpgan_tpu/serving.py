@@ -74,6 +74,47 @@ def export_synthesis(
         f.write(exported.serialize())
 
 
+def export_frontalize(
+    cfg: Config, detector, det_variables, gen, g_params, path: str,
+    batch: int = 8, input_hw: Tuple[int, int] = (128, 128),
+    detector_size: int = 256, tta: bool = False,
+    allow_upscale: bool = True,
+    platforms: Optional[Tuple[str, ...]] = None,
+) -> None:
+    """Serialise the FULL-STACK program — raw uint8 image -> letterbox
+    -> landmark detector -> decode -> patch crops -> generator ->
+    frontal face — as one StableHLO artifact with both parameter sets
+    baked in. The serving binary feeds camera bytes and gets faces:
+    no landmark annotations, no Python, one dispatch (the deployment
+    the reference's research scripts never reached; its closest path
+    is the manual TestDataset annotation flow, DataAndDataset.py:230).
+
+    ``input_hw`` is baked static (XLA static shapes); export one
+    artifact per supported camera resolution, or letterbox host-side
+    to a canonical size first. Returns (frontal [-1,1], lm5 source-
+    frame px, per-part confidence scores)."""
+    from jax import export as jexport
+
+    from tpgan_tpu.frontalize import make_frontalize_fn
+
+    frontalize = make_frontalize_fn(
+        cfg, detector, gen, detector_size=detector_size, tta=tta,
+        allow_upscale=allow_upscale,
+    )
+
+    def fn(images, z_in):
+        return frontalize(g_params, det_variables, images, z_in)
+
+    h, w = input_hw
+    example = jnp.zeros((batch, h, w, 3), jnp.uint8)
+    z = jnp.zeros((batch, cfg.G.zdim), jnp.float32)
+    exported = jexport.export(
+        jax.jit(fn), platforms=list(platforms) if platforms else None
+    )(example, z)
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
 def load_synthesis(path: str):
     """Load a serialized synthesis artifact; returns a callable
     (batch dict, z) -> frontal images."""
