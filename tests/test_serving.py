@@ -175,3 +175,82 @@ def test_export_frontalize_roundtrip(tmp_path):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(lm5), np.asarray(lm5_l),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_export_frontalize_int8_roundtrip(tmp_path):
+    """Full-stack artifact with an int8 PTQ generator stage: loaded
+    output must match the live int8 frontalize program."""
+    from tpgan_tpu.frontalize import make_frontalize_fn
+    from tpgan_tpu.ops.quant import calibrate_synthesis
+    from tpgan_tpu.serving import export_frontalize
+    from tpgan_tpu.train.pretrain import create_pretrain_state
+
+    det_state, detector, _tx = create_pretrain_state(
+        CFG, jax.random.PRNGKey(0)
+    )
+    det_vars = {"params": det_state.params,
+                "batch_stats": det_state.batch_stats}
+    state, gen, *_ = create_gan_state(CFG, jax.random.PRNGKey(1))
+    batch, _z = _inputs(2)
+    scales = calibrate_synthesis(
+        CFG, gen, state.g_params, [jax.device_get(batch)]
+    )
+
+    path = str(tmp_path / "frontalize_int8.stablehlo")
+    export_frontalize(
+        CFG, detector, det_vars, gen, state.g_params, path,
+        batch=2, input_hw=(96, 96), detector_size=128,
+        quant_scales=scales, rescale_dtype=jnp.bfloat16,
+    )
+
+    fn = load_synthesis(path)
+    rng = np.random.RandomState(1)
+    images = jnp.asarray((rng.rand(2, 96, 96, 3) * 255).astype(np.uint8))
+    z = jnp.zeros((2, CFG.G.zdim), jnp.float32)
+    fake, lm5, scores = fn(images, z)
+    assert fake.shape == (2, 128, 128, 3)
+    assert np.isfinite(np.asarray(fake, np.float32)).all()
+
+    live = jax.jit(make_frontalize_fn(
+        CFG, detector, gen, detector_size=128,
+        quant_scales=scales, quant_rescale_dtype=jnp.bfloat16,
+    ))(state.g_params, det_vars, images, z)
+    np.testing.assert_allclose(np.asarray(fake), np.asarray(live[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lm5), np.asarray(live[1]),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_export_weights_dtype_bf16(tmp_path):
+    """--weights-dtype bfloat16: on a bf16-compute model the baked-bf16
+    artifact reproduces the live program run on pre-cast params exactly
+    (conv kernels are cast to bf16 at use either way), and the artifact
+    shrinks to ~half."""
+    import os
+
+    from tpgan_tpu.serving import cast_float_leaves
+    from tpgan_tpu.train.gan_trainer import make_synthesize_fn
+
+    cfg = make_config(
+        {"G": {"fm_multiplier": 0.25, "local_feature_layer_dim": 16},
+         "D": {"fm_multiplier": 0.25}, "compute_dtype": "bfloat16"}
+    )
+    state, gen, *_ = create_gan_state(cfg, jax.random.PRNGKey(0))
+    batch, z = _inputs(2)
+
+    p32 = str(tmp_path / "synthesis_f32w.stablehlo")
+    p16 = str(tmp_path / "synthesis_bf16w.stablehlo")
+    export_synthesis(cfg, gen, state.g_params, p32, batch=2)
+    export_synthesis(cfg, gen, state.g_params, p16, batch=2,
+                     weights_dtype=jnp.bfloat16)
+    assert os.path.getsize(p16) < 0.65 * os.path.getsize(p32)
+
+    out = load_synthesis(p16)(batch, z)
+    cast = cast_float_leaves(state.g_params, jnp.bfloat16)
+    live = jax.jit(make_synthesize_fn(cfg, gen))(cast, batch, z)
+    np.testing.assert_array_equal(
+        np.asarray(out, np.float32), np.asarray(live, np.float32)
+    )
+    # and the bf16-weight program stays close to the f32-weight one
+    ref = np.asarray(load_synthesis(p32)(batch, z), np.float32)
+    assert np.max(np.abs(ref - np.asarray(out, np.float32))) < 0.1

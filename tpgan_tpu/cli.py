@@ -34,6 +34,24 @@ if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
+def _enable_compile_cache() -> None:
+    """Point every CLI run at the persistent XLA compilation cache.
+
+    Without this each ``cli train``/``eval`` invocation re-compiles its
+    programs from scratch — on the tunneled backend the fused GAN step
+    costs minutes (the b=512 grad-accum step burned a full 1500 s
+    experiment budget in compile alone, runs/accum_q_ab.log). Shares
+    bench.py's cache dir so CLI runs and bench warm each other.
+    Override with TPGAN_COMPILE_CACHE; set it empty to disable."""
+    cache = os.environ.get("TPGAN_COMPILE_CACHE", "/tmp/jax_cache_bench")
+    if not cache:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _build_config(args):
     from tpgan_tpu.config import flat_override, make_config
 
@@ -626,14 +644,14 @@ def cmd_export(args) -> int:
         tuple(p.strip() for p in args.platforms.split(",") if p.strip())
         if args.platforms else None
     )
+    import jax.numpy as jnp
+
+    wdt = (jnp.bfloat16 if getattr(args, "weights_dtype", "float32")
+           == "bfloat16" else None)
+    rdt = (jnp.bfloat16 if getattr(args, "int8_rescale_dtype", "float32")
+           == "bfloat16" else None)
     if getattr(args, "detector_checkpoint", None):
         # full-stack artifact: raw uint8 -> detector -> crops -> G
-        if args.int8:
-            print("error: --int8 full-stack export not supported yet "
-                  "(quantization calibrates the synthesis graph only); "
-                  "drop --int8 or export without --detector-checkpoint",
-                  file=sys.stderr)
-            return 2
         from tpgan_tpu.serving import export_frontalize
         from tpgan_tpu.train.checkpoint import restore_checkpoint
         from tpgan_tpu.train.pretrain import (
@@ -658,14 +676,21 @@ def cmd_export(args) -> int:
             tta=getattr(args, "detector_tta", False),
             allow_upscale=not getattr(args, "no_detector_upscale", False),
             platforms=platforms,
+            quant_scales=scales, rescale_dtype=rdt,
+            min_channels=getattr(args, "int8_min_channels", None),
+            weights_dtype=wdt,
         )
-        print(f"wrote {args.output} (full-stack {cfg.compute_dtype}, "
+        print(f"wrote {args.output} (full-stack "
+              f"{'int8 PTQ G' if args.int8 else cfg.compute_dtype}, "
               f"input {hw[0]}x{hw[1]}, batch={args.batch}, platforms="
               f"{','.join(platforms) if platforms else 'current backend'})")
         return 0
     export_synthesis(
         cfg, gen, params, args.output, batch=args.batch,
         quant_scales=scales, platforms=platforms,
+        rescale_dtype=rdt,
+        min_channels=getattr(args, "int8_min_channels", None),
+        weights_dtype=wdt,
     )
     print(f"wrote {args.output} "
           f"({'int8 PTQ' if args.int8 else cfg.compute_dtype}, "
@@ -746,6 +771,7 @@ def cmd_frontalize(args) -> int:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    _enable_compile_cache()
     parser = argparse.ArgumentParser(prog="tpgan_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
@@ -905,6 +931,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--calib-items", type=int, default=64)
     p.add_argument("--g-weights", choices=("auto", "ema", "live"),
                    default="auto")
+    p.add_argument("--weights-dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="dtype of the baked float weight constants; "
+                        "bfloat16 halves the artifact and is "
+                        "bit-identical on bf16-compute models (only BN "
+                        "scale/bias round)")
+    p.add_argument("--int8-rescale-dtype",
+                   choices=("float32", "bfloat16"), default="float32",
+                   help="int8 dequantize-epilogue dtype (bfloat16 "
+                        "measured fastest: artifacts/"
+                        "int8_variants_probe_r4.json)")
+    p.add_argument("--int8-min-channels", type=int, default=None,
+                   help="skip quantizing convs narrower than this "
+                        "(measured slower at every tried threshold)")
     p.add_argument("--detector-checkpoint", default=None,
                    help="ALSO bake the landmark detector in: export the "
                         "full-stack raw-image -> frontal-face program "

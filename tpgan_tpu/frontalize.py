@@ -153,6 +153,9 @@ def make_frontalize_fn(
     detector_size: int = 256,
     tta: bool = False,
     allow_upscale: bool = True,
+    quant_scales=None,
+    quant_rescale_dtype=None,
+    quant_min_channels=None,
 ):
     """Build the fused raw-image -> frontal-face program.
 
@@ -163,11 +166,35 @@ def make_frontalize_fn(
     into the HLO as constants, which bloats the program and overflows
     remote-compile request limits on tunneled backends (the same hazard
     quant.calibrate_synthesis avoids).
+
+    ``quant_scales`` (from ``ops.quant.calibrate_synthesis``) swaps the
+    generator stage onto the int8 PTQ graph — the detector stays on the
+    float path (it is <2% of the fused program's FLOPs, and its narrow
+    depthwise convs are exactly the shapes the int8 variants probe showed
+    losing to bf16); ``quant_rescale_dtype``/``quant_min_channels`` are
+    the ops.quant.quant_config knobs.
     """
     from tpgan_tpu.train.gan_trainer import make_synthesize_fn
 
     detector = detector.clone(accum_f32=True)  # inference-only path
-    synthesize = make_synthesize_fn(cfg, gen)
+    if quant_scales is not None:
+        from tpgan_tpu.ops.quant import make_int8_synthesize_fn
+
+        int8_synthesize = make_int8_synthesize_fn(
+            cfg, gen, quant_scales,
+            rescale_dtype=quant_rescale_dtype,
+            min_channels=quant_min_channels,
+        )
+        def synthesize(g_params, batch, z, batch_stats=None):
+            if batch_stats:
+                raise NotImplementedError(
+                    "int8 PTQ synthesis does not thread BatchNorm "
+                    "running stats (the default WGAN-GP generator has "
+                    "no BN, config.py:68/72 parity)"
+                )
+            return int8_synthesize(g_params, batch, z)
+    else:
+        synthesize = make_synthesize_fn(cfg, gen)
 
     def frontalize(g_params, det_variables, images, z, batch_stats=None):
         lm5, _valid, scores = detect_lm5(

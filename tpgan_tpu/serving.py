@@ -20,6 +20,24 @@ from tpgan_tpu.config import Config
 from tpgan_tpu.train.gan_trainer import make_synthesize_fn
 
 
+def cast_float_leaves(tree, dtype):
+    """Cast every floating-point leaf of a param pytree to ``dtype``.
+
+    Used to bake bf16 weight constants into serving artifacts: the bf16
+    compute path casts conv/linear kernels to bf16 at use anyway
+    (ops/blocks.py ``kernel.astype(self.dtype)``), so baking them as
+    bf16 halves the artifact with bit-identical matmuls; only epilogue
+    params that participate in f32 arithmetic (BN scale/bias) lose their
+    extra mantissa bits — sub-1e-2 output deltas, measured in
+    tests/test_serving.py."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
 def _example_inputs(cfg: Config, batch: int):
     z = lambda *s: jnp.zeros(s, jnp.float32)
     example = {
@@ -36,6 +54,7 @@ def export_synthesis(
     cfg: Config, gen, g_params, path: str, batch: int = 8,
     quant_scales=None, platforms: Optional[Tuple[str, ...]] = None,
     rescale_dtype=None, min_channels: Optional[int] = None,
+    weights_dtype=None,
 ) -> None:
     """Serialise the synthesis function (params baked in) to ``path``.
 
@@ -48,9 +67,17 @@ def export_synthesis(
     ``("cpu", "tpu")``). A StableHLO export is otherwise pinned to the
     exporting backend — an artifact built next to the training chips
     would refuse to load on a CPU canary host and vice versa; none of
-    the targets need to be attached at export time."""
+    the targets need to be attached at export time.
+
+    ``weights_dtype`` (e.g. ``jnp.bfloat16``): bake the float weight
+    constants at a narrower dtype — halves the artifact on bf16 models
+    (see ``cast_float_leaves``). Ignored on the int8 path, where the
+    per-channel quantisation must see the full-precision weights and the
+    folded constants are int8 already."""
     from jax import export as jexport
 
+    if weights_dtype is not None and quant_scales is None:
+        g_params = cast_float_leaves(g_params, weights_dtype)
     if quant_scales is not None:
         from tpgan_tpu.ops.quant import make_int8_synthesize_fn
 
@@ -80,6 +107,9 @@ def export_frontalize(
     detector_size: int = 256, tta: bool = False,
     allow_upscale: bool = True,
     platforms: Optional[Tuple[str, ...]] = None,
+    quant_scales=None, rescale_dtype=None,
+    min_channels: Optional[int] = None,
+    weights_dtype=None,
 ) -> None:
     """Serialise the FULL-STACK program — raw uint8 image -> letterbox
     -> landmark detector -> decode -> patch crops -> generator ->
@@ -92,14 +122,30 @@ def export_frontalize(
     ``input_hw`` is baked static (XLA static shapes); export one
     artifact per supported camera resolution, or letterbox host-side
     to a canonical size first. Returns (frontal [-1,1], lm5 source-
-    frame px, per-part confidence scores)."""
+    frame px, per-part confidence scores).
+
+    ``quant_scales`` exports the generator stage as the int8 PTQ graph
+    (detector stays float — see ``make_frontalize_fn``); ``weights_dtype``
+    narrows the baked float constants (detector params and, unless
+    quantised, generator params; BatchNorm running stats stay f32 —
+    they feed f32 normalisation arithmetic, ops/blocks.py:435)."""
     from jax import export as jexport
 
     from tpgan_tpu.frontalize import make_frontalize_fn
 
+    if weights_dtype is not None:
+        if quant_scales is None:
+            g_params = cast_float_leaves(g_params, weights_dtype)
+        det_variables = dict(det_variables)
+        det_variables["params"] = cast_float_leaves(
+            det_variables["params"], weights_dtype
+        )
     frontalize = make_frontalize_fn(
         cfg, detector, gen, detector_size=detector_size, tta=tta,
         allow_upscale=allow_upscale,
+        quant_scales=quant_scales,
+        quant_rescale_dtype=rescale_dtype,
+        quant_min_channels=min_channels,
     )
 
     def fn(images, z_in):
