@@ -26,6 +26,16 @@ import time
 import numpy as np
 
 _START = time.monotonic()
+
+# Honour an explicit JAX_PLATFORMS request: this host's sitecustomize
+# force-registers the tunneled-TPU plugin via jax.config, which silently
+# overrides the env var — `JAX_PLATFORMS=cpu python bench.py` would
+# otherwise bench (and contend with) the tunnel (same workaround as
+# cli.py / __graft_entry__.py / tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 _BASELINE_CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "artifacts",
     "bench_baseline_torch.json",
@@ -332,7 +342,12 @@ def _device_available(timeout_s: float = 150.0) -> bool:
 
     try:
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c",
+             "import os, jax\n"
+             "if os.environ.get('JAX_PLATFORMS'):\n"
+             "    jax.config.update('jax_platforms',"
+             " os.environ['JAX_PLATFORMS'])\n"
+             "jax.devices()"],
             timeout=timeout_s, capture_output=True,
         )
         return r.returncode == 0
@@ -429,6 +444,14 @@ def main():
         print(f"# device backend unavailable; retrying "
               f"({remaining():.0f}s budget left)", file=sys.stderr)
         time.sleep(30.0)
+
+    # Emit one valid (all-null-modes) line BEFORE the first measurement:
+    # the first mode's compile+measure has no internal deadline, so on a
+    # contended host an external timeout could otherwise kill the run
+    # with zero output (observed when a CPU compile shared the one-core
+    # host with the 19:33 r4 preflight — runs/bench_r4_preflight.out
+    # came back empty). A parseable placeholder always beats silence.
+    emit()
 
     # Per-mode cost bound (compile dominates; the persistent compile
     # cache makes repeat runs much cheaper, first runs pay ~60-150 s per
