@@ -124,3 +124,45 @@ def test_generator_int8_synthesis():
     # the chip and recorded in docs/BENCHMARKS.md
     mae = float(jnp.mean(jnp.abs(i8 - f32)))
     assert mae < 0.25, mae
+
+
+def test_generator_int8_subpixel_matches_deconv():
+    """The int8 PTQ program over the subpixel upsample algorithm (the
+    measured int8 serving winner — artifacts/subpixel_probe_r4.json:
+    1577.8 vs 1328.2 imgs/s/chip dilated) must agree with the int8
+    program over the dilated algorithm on the SAME params: the float
+    graphs are exactly equal (tests/test_blocks.py generator parity),
+    so the only divergence budget is per-channel quantisation rounding
+    of the phase-rearranged kernels."""
+    from tpgan_tpu.data.synthetic import synthetic_gan_batch
+    from tpgan_tpu.ops.quant import calibrate_synthesis, make_int8_synthesize_fn
+    from tpgan_tpu.train.gan_trainer import create_gan_state
+
+    small = {
+        "G": {"fm_multiplier": 0.25, "local_feature_layer_dim": 16},
+        "D": {"fm_multiplier": 0.25},
+        "compute_dtype": "float32",
+    }
+    cfg_a = make_config({**small, "G": {**small["G"], "upsample_mode": "deconv"}})
+    cfg_b = make_config({**small, "G": {**small["G"], "upsample_mode": "subpixel"}})
+    state, gen_a, *_ = create_gan_state(cfg_a, jax.random.PRNGKey(0))
+    _, gen_b, *_ = create_gan_state(cfg_b, jax.random.PRNGKey(0))
+
+    batches = [synthetic_gan_batch(2, seed=s) for s in range(2)]
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_gan_batch(2, seed=9).items()}
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, cfg_a.G.zdim))
+
+    outs = []
+    for cfg, gen in ((cfg_a, gen_a), (cfg_b, gen_b)):
+        scales = calibrate_synthesis(cfg, gen, state.g_params, batches)
+        outs.append(
+            jax.jit(make_int8_synthesize_fn(cfg, gen, scales))(
+                state.g_params, batch, z
+            )
+        )
+    a, b = (np.asarray(o, np.float32) for o in outs)
+    assert np.isfinite(b).all()
+    mae = float(np.mean(np.abs(a - b)))
+    # same int8 math modulo the per-phase-channel rounding granularity
+    assert mae < 0.05, mae
