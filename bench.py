@@ -55,6 +55,29 @@ def _bench_batch(b: int):
     }
 
 
+def _parse_mode(mode: str):
+    """'base+tok+tok' -> (base, opts, make_config overrides).
+
+    Tokens: 'pad' (G.pad_channel_multiple=128), 'subpixel'
+    (G.upsample_mode='subpixel'), 'bf16rescale' (int8 dequant epilogues
+    in bf16). Unknown bases/tokens raise so a typo'd --modes entry fails
+    loudly instead of silently benching the default config.
+    """
+    tokens = mode.split("+")
+    base_mode, opts = tokens[0], set(tokens[1:])
+    if base_mode not in ("bf16", "int8"):
+        raise ValueError(f"unknown bench mode base {base_mode!r}")
+    unknown = opts - {"pad", "subpixel", "bf16rescale"}
+    if unknown:
+        raise ValueError(f"unknown bench mode tokens {sorted(unknown)}")
+    overrides = {"compute_dtype": "bfloat16", "G": {}}
+    if "pad" in opts:
+        overrides["G"]["pad_channel_multiple"] = 128
+    if "subpixel" in opts:
+        overrides["G"]["upsample_mode"] = "subpixel"
+    return base_mode, opts, overrides
+
+
 def bench_ours(
     batch_sizes=(256, 128), scan_len=8, repeats=3, mode="bf16",
     on_result=None,
@@ -70,9 +93,13 @@ def bench_ours(
       completion (``block_until_ready`` acknowledges dispatch, not
       execution, over remoted PJRT backends).
 
-    ``mode``: 'bf16' (round-1 headline), 'int8' (PTQ synthesis graph,
-    ops/quant.py), with an optional '+pad' suffix for the MXU
-    channel-alignment layout (G.pad_channel_multiple=128).
+    ``mode``: base 'bf16' (round-1 headline) or 'int8' (PTQ synthesis
+    graph, ops/quant.py), composable with '+'-separated tokens:
+    '+pad' (MXU channel-alignment layout, G.pad_channel_multiple=128),
+    '+subpixel' (exact transposed-conv phase decomposition — identical
+    params/outputs, fewer MACs; ops/blocks docstring), '+bf16rescale'
+    (int8 dequantize epilogues in bf16 — the variant the round-4 probe
+    measured fastest, artifacts/int8_variants_probe_r4.json).
     """
     import jax
     import jax.numpy as jnp
@@ -88,19 +115,20 @@ def bench_ours(
     from tpgan_tpu.config import make_config
     from tpgan_tpu.train.gan_trainer import create_gan_state, make_synthesize_fn
 
-    overrides = {"compute_dtype": "bfloat16"}
-    if mode.endswith("+pad"):
-        overrides["G"] = {"pad_channel_multiple": 128}
+    base_mode, opts, overrides = _parse_mode(mode)
     cfg = make_config(overrides)
     state, gen, _d, _gt, _dt = create_gan_state(cfg, jax.random.PRNGKey(0))
 
-    if mode.startswith("int8"):
+    if base_mode == "int8":
         from tpgan_tpu.ops.quant import calibrate_synthesis, make_int8_synthesize_fn
 
         scales = calibrate_synthesis(
             cfg, gen, state.g_params, [jax.device_get(_bench_batch(16))]
         )
-        synthesize = make_int8_synthesize_fn(cfg, gen, scales)
+        synthesize = make_int8_synthesize_fn(
+            cfg, gen, scales,
+            rescale_dtype=jnp.bfloat16 if "bf16rescale" in opts else None,
+        )
     else:
         synthesize = make_synthesize_fn(cfg, gen)
 
@@ -362,9 +390,10 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--modes", default="bf16,int8",
-        help="comma list of bf16|int8 with optional +pad suffix; the "
-             "fastest mode becomes the headline value",
+        "--modes", default="bf16,int8,int8+subpixel+bf16rescale",
+        help="comma list of bf16|int8 bases with optional +pad/+subpixel/"
+             "+bf16rescale tokens; the fastest mode becomes the headline "
+             "value (the third default is the round-4 serving config)",
     )
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(
@@ -423,6 +452,17 @@ def main():
             "mfu_int8": (
                 round(modes["int8"] * fpi / 394.0e12, 3)
                 if modes.get("int8") else None
+            ),
+            # model-FLOP MFU of whatever mode leads (int8 peak for int8
+            # bases). fpi is the dilated-graph cost: for +subpixel modes
+            # the executed-FLOP count is lower, so this stays the
+            # *model*-FLOP convention (useful math / wall-clock), not an
+            # executed-FLOP utilisation.
+            "mfu_headline": (
+                round(ours * fpi / (394.0e12 if headline_mode and
+                                    headline_mode.startswith("int8")
+                                    else 197.0e12), 3)
+                if ours else None
             ),
             "est_ideal_a100_imgs_s": round(312.0e12 / fpi, 1),
         }

@@ -29,8 +29,33 @@ def test_emits_json_line_when_device_unavailable(monkeypatch):
     assert rec["metric"] == "tpgan_synthesis_imgs_per_sec_per_chip"
     assert rec["value"] == 0.0
     assert "all(device_unavailable)" in rec["skipped"]
-    # the modes dict stays present (round-over-round comparability)
-    assert set(rec["modes"]) == {"bf16", "int8"}
+    # the modes dict stays present (round-over-round comparability):
+    # the round-1/3 modes plus the round-4 serving headline config
+    assert set(rec["modes"]) == {
+        "bf16", "int8", "int8+subpixel+bf16rescale",
+    }
+    assert rec["mfu_headline"] is None  # nothing measured
+
+
+def test_parse_mode_tokens():
+    base, opts, ov = bench._parse_mode("int8+subpixel+bf16rescale")
+    assert base == "int8"
+    assert opts == {"subpixel", "bf16rescale"}
+    assert ov["G"]["upsample_mode"] == "subpixel"
+    base, opts, ov = bench._parse_mode("bf16")
+    assert (base, opts) == ("bf16", set())
+    assert "upsample_mode" not in ov["G"]
+    base, opts, ov = bench._parse_mode("bf16+pad")
+    assert ov["G"]["pad_channel_multiple"] == 128
+
+
+def test_parse_mode_rejects_typos():
+    import pytest
+
+    with pytest.raises(ValueError):
+        bench._parse_mode("int4")
+    with pytest.raises(ValueError):
+        bench._parse_mode("int8+subpixle")
 
 
 def test_probe_subprocess_is_bounded():
