@@ -30,12 +30,17 @@ echo "chain8 finished"
 has_ckpt () { ls -d "$1"/[0-9]* >/dev/null 2>&1; }
 ok_json () { python -c "import json,sys; json.load(open(sys.argv[1]))" "$1" 2>/dev/null; }
 
-# ---- stage A: quality generator (~2.7h) ----
-# --resume + global 10000-step budget: a clock-cut rerun continues from
-# the last 1000-step checkpoint; a completed run is a no-op.
+# ---- stage A: quality generator (~2.7h at the full 10000 steps) ----
+# --resume + global step budget: a clock-cut rerun continues from the
+# last checkpoint; a completed run is a no-op. GAN_STEPS trims the
+# budget for short sessions — the stage-B matrix is a SAME-generator
+# delta (GT vs detected landmarks), so it stays meaningful on a
+# partially-trained generator; absolute PSNR then undershoots the
+# committed 10k-step numbers and must be read as a delta only.
+GAN_STEPS="${GAN_STEPS:-10000}"
 mkdir -p runs/gan_rc
 time python -m tpgan_tpu.cli train --packed data_synth/gan/packed \
-    --steps 10000 --identity-checkpoint runs/embedder/ckpt \
+    --steps "$GAN_STEPS" --identity-checkpoint runs/embedder/ckpt \
     --checkpoint runs/gan_rc/ckpt --sample-dir runs/gan_rc/samples \
     --log-dir runs/gan_rc/logs --sample-every 2000 --device-data \
     $(has_ckpt runs/gan_rc/ckpt && echo --resume) \
