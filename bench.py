@@ -390,10 +390,13 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--modes", default="bf16,int8,int8+subpixel+bf16rescale",
+        "--modes", default="int8+subpixel+bf16rescale,bf16,int8",
         help="comma list of bf16|int8 bases with optional +pad/+subpixel/"
              "+bf16rescale tokens; the fastest mode becomes the headline "
-             "value (the third default is the round-4 serving config)",
+             "value. The HEADLINE serving config (int8+subpixel+"
+             "bf16rescale, round 4) runs FIRST so a budget squeeze trims "
+             "the tail modes, never the headline — BENCH_r04.json lost "
+             "the int8 number exactly this way (VERDICT r4 item 2)",
     )
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(

@@ -11,7 +11,10 @@
 #      committed eval_heldout_fullstack{,_base}_r4.json pair measured
 #      the broken native-scale letterbox geometry (see
 #      artifacts/serving_scale_probe_r4.json) and stays as the "before".
-#   3. int8 PTQ quality certs on the trained generator: f32-rescale
+#   3. int8 PTQ quality certs on the trained generator (SKIPPED for
+#      trimmed GAN_STEPS budgets: a partial generator cannot
+#      reproduce the committed int8_quality_r4.json — the cert is
+#      only comparable at the full 10k recipe): f32-rescale
 #      (consistency check vs the committed int8_quality_r4.json — the
 #      retrain should reproduce it) and bf16-rescale (the serving
 #      headline's epilogue dtype, the one uncertified piece; the
@@ -38,6 +41,10 @@ ok_json () { python -c "import json,sys; json.load(open(sys.argv[1]))" "$1" 2>/d
 # partially-trained generator; absolute PSNR then undershoots the
 # committed 10k-step numbers and must be read as a delta only.
 GAN_STEPS="${GAN_STEPS:-10000}"
+# ADVICE r4: a trimmed budget must NEVER pin partial-generator
+# numbers under the canonical artifact names — the ok_json guards
+# would skip regeneration forever. Partial runs write *_partial.
+SUF=""; [ "$GAN_STEPS" != 10000 ] && SUF="_partial"
 mkdir -p runs/gan_rc
 time python -m tpgan_tpu.cli train --packed data_synth/gan/packed \
     --steps "$GAN_STEPS" --identity-checkpoint runs/embedder/ckpt \
@@ -58,40 +65,43 @@ EV="python -m tpgan_tpu.cli eval --batch-size 16 --z-samples 4 \
     --set G.upsample_mode=resize_conv \
     --identity-checkpoint runs/embedder_v2/ckpt --checkpoint runs/gan_rc/ckpt"
 
-ok_json artifacts/eval_heldout_gt_regen_r4.json || \
-  timeout 2400 $EV > artifacts/eval_heldout_gt_regen_r4.json \
+ok_json "artifacts/eval_heldout_gt_regen_r4$SUF.json" || \
+  timeout 2400 $EV > "artifacts/eval_heldout_gt_regen_r4$SUF.json" \
       2> runs/eval_gt_regen.err
 echo "gt regen rc=$?"
 
 # latest anchor-v3 step, not best/: the decode sweep showed the hard-
 # decode-selected best underperforms tail checkpoints under the tuned
 # soft decode (artifacts/decode_sweep_r4.json)
-ok_json artifacts/eval_heldout_fullstack_upscale_r4.json || \
+ok_json "artifacts/eval_heldout_fullstack_upscale_r4$SUF.json" || \
   timeout 2400 $EV --detector-checkpoint runs/pretrain_anchor3/ckpt \
-      > artifacts/eval_heldout_fullstack_upscale_r4.json \
+      > "artifacts/eval_heldout_fullstack_upscale_r4$SUF.json" \
       2> runs/eval_fullstack_upscale.err
 echo "fullstack upscale rc=$?"
 
-ok_json artifacts/eval_heldout_fullstack_tta_r4.json || \
+ok_json "artifacts/eval_heldout_fullstack_tta_r4$SUF.json" || \
   timeout 2400 $EV --detector-checkpoint runs/pretrain_anchor3/ckpt \
       --detector-tta \
-      > artifacts/eval_heldout_fullstack_tta_r4.json \
+      > "artifacts/eval_heldout_fullstack_tta_r4$SUF.json" \
       2> runs/eval_fullstack_tta.err
 echo "fullstack tta rc=$?"
 
 # ---- stage C: int8 quality certs on the trained generator ----
-ok_json artifacts/int8_quality_regen_r4.json || \
+# (full-budget only: see header note / ADVICE r4 finding 2)
+if [ -z "$SUF" ]; then
+ok_json "artifacts/int8_quality_regen_r4$SUF.json" || \
   timeout 1800 python examples/int8_quality.py --checkpoint runs/gan_rc/ckpt \
       --img-list data_synth/eval/img.list \
       --set G.upsample_mode=resize_conv \
-      > artifacts/int8_quality_regen_r4.json 2> runs/int8_quality_regen.err
+      > "artifacts/int8_quality_regen_r4$SUF.json" 2> runs/int8_quality_regen.err
 echo "int8 f32-rescale cert rc=$?"
 
-ok_json artifacts/int8_quality_bf16rescale_r4.json || \
+ok_json "artifacts/int8_quality_bf16rescale_r4$SUF.json" || \
   timeout 1800 python examples/int8_quality.py --checkpoint runs/gan_rc/ckpt \
       --img-list data_synth/eval/img.list \
       --set G.upsample_mode=resize_conv \
       --rescale-dtype bfloat16 \
-      > artifacts/int8_quality_bf16rescale_r4.json 2> runs/int8_quality_bf16.err
+      > "artifacts/int8_quality_bf16rescale_r4$SUF.json" 2> runs/int8_quality_bf16.err
 echo "int8 bf16-rescale cert rc=$?"
+fi
 echo "chain9 done"

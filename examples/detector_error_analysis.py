@@ -67,6 +67,10 @@ def main() -> int:
                          "apples-to-apples control for --tta (letterbox "
                          "rescale included either way)")
     ap.add_argument("--detector-size", type=int, default=256)
+    ap.add_argument("--refine", action="store_true",
+                    help="add the second-stage zoom-crop refinement "
+                         "(frontalize.refine_lm5) on top of --serving/"
+                         "--tta")
     args = ap.parse_args()
 
     buckets = tuple(int(b) for b in args.buckets.split(","))
@@ -94,6 +98,7 @@ def main() -> int:
             lm5, _valid, scores = detect_lm5(
                 model, variables, images,
                 detector_size=args.detector_size, tta=args.tta,
+                refine=args.refine,
             )
             return lm5[:, :4, :], scores
     else:

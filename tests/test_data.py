@@ -347,6 +347,92 @@ def test_device_resident_dataset(tmp_path):
         assert any(np.array_equal(r, s) for s in rows)
 
 
+def test_weighted_device_batch_iterator(tmp_path):
+    """yaw-weighted sampling (train.yaw_weight_gamma): weights bias the
+    host-side index distribution; invalid weights are rejected."""
+    import pytest
+
+    from tpgan_tpu.data.packing import (
+        device_batch_iterator,
+        load_packed_to_device,
+        pack_dataset,
+    )
+    from tpgan_tpu.data.synthetic import synthetic_gan_batch
+
+    class Source:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            return {k: v[0] for k, v in synthetic_gan_batch(1, seed=i).items()}
+
+    out = str(tmp_path / "packed")
+    pack_dataset(Source(), out, shard_size=2)
+    data = load_packed_to_device(out)
+
+    # all mass on item 3 -> every sampled row equals row 3
+    w = np.zeros(5)
+    w[3] = 1.0
+    it = device_batch_iterator(data, batch_size=4, seed=0, weights=w)
+    batch = next(it)
+    want = np.asarray(data["img"][3])
+    for r in np.asarray(batch["img"]):
+        np.testing.assert_array_equal(r, want)
+
+    # a 10:1 skew shows up in the empirical frequencies
+    w = np.ones(5)
+    w[0] = 10.0
+    it = device_batch_iterator(data, batch_size=64, seed=1, weights=w)
+    imgs = np.asarray(data["img"])
+    hits = 0
+    for _ in range(4):
+        for r in np.asarray(next(it)["img"]):
+            if np.array_equal(r, imgs[0]):
+                hits += 1
+    assert hits > 256 * 10 / 14 * 0.6  # expected ~183, allow slack
+
+    with pytest.raises(ValueError):
+        next(device_batch_iterator(data, 2, weights=np.ones(3)))
+    with pytest.raises(ValueError):
+        next(device_batch_iterator(data, 2, weights=np.zeros(5)))
+
+
+def test_packed_names_roundtrip(tmp_path):
+    """pack_dataset records source basenames when the dataset exposes
+    img_list; PackedDataset.names returns them (and falls back to the
+    sibling img.list for pre-round-5 packs)."""
+    from tpgan_tpu.data.packing import PackedDataset, pack_dataset
+    from tpgan_tpu.data.synthetic import synthetic_gan_batch
+
+    names = [f"{i:03d}_01_{cam}_00.png"
+             for i, cam in enumerate(["051", "240", "020", "110", "200"])]
+
+    class Source:
+        img_list = [f"/data/train/{n}" for n in names]
+
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            return {k: v[0] for k, v in synthetic_gan_batch(1, seed=i).items()}
+
+    out = str(tmp_path / "root" / "packed")
+    pack_dataset(Source(), out, shard_size=2)
+    assert PackedDataset(out).names == names
+
+    # fallback: strip the names key, provide a sibling img.list
+    import json
+    idx_path = os.path.join(out, "index.json")
+    with open(idx_path) as f:
+        meta = json.load(f)
+    del meta["names"]
+    with open(idx_path, "w") as f:
+        json.dump(meta, f)
+    with open(str(tmp_path / "root" / "img.list"), "w") as f:
+        f.write("\n".join(Source.img_list) + "\n")
+    assert PackedDataset(out).names == names
+
+
 def test_celeba_multi_bucket_1024_routing(tmp_path):
     """The reference's collate filter implies images up to
     general.image_max_size=1024 (config.py:40, Pretrain.py:66-74); the

@@ -131,7 +131,97 @@ def test_testdataset_landmark_string_whitespace(tmp_path):
         # underscores in parent directories (reference splits the WHOLE
         # path, DataAndDataset.py:203-205 — token[-2] is still the camera)
         ("my_data/train/001_01_110_00.png", "my_data/train/001_01_051_00.png"),
+        # real Multi-PIE pair-form camera labels with session/recording
+        # fields: camera '11_0' -> frontal '05_1' (VERDICT r4 item 8)
+        ("mp/001_01_01_11_0_00.png", "mp/001_01_01_05_1_00.png"),
+        ("mp/042_02_03_24_0_07.png", "mp/042_02_03_05_1_07.png"),
+        # pair-form frontal maps to itself
+        ("mp/001_01_01_05_1_00.png", "mp/001_01_01_05_1_00.png"),
+        # uppercase extension rides through untouched
+        ("mp/001_01_01_19_1_00.PNG", "mp/001_01_01_05_1_00.PNG"),
     ],
 )
 def test_frontal_twin_path(path, expect):
     assert frontal_twin_path(path) == expect
+
+
+@pytest.mark.parametrize(
+    "name,expect",
+    [
+        ("001_01_051_00.png", "051"),                 # flattened protocol
+        ("001_01_110_00.png", "110"),
+        ("001_01_01_05_1_00.png", "051"),             # real pair form
+        ("001_01_01_19_1_00.PNG", "191"),
+        ("042_02_03_24_0_07.png", "240"),
+        ("/abs/dir/001_01_01_08_1_00.png", "081"),    # full path ok
+        ("weird.png", ""),                            # no tokens at all
+    ],
+)
+def test_camera_token(name, expect):
+    from tpgan_tpu.data.multipie import camera_token
+
+    assert camera_token(name) == expect
+
+
+def test_parse_rows_with_extra_trailing_columns(tmp_path):
+    """Annotated CelebA variants append extra columns after the 10
+    coordinates — the first 10 numbers after the name are the landmark
+    contract; extras are ignored instead of dropping the row."""
+    body = (
+        "2\n"
+        "header\n"
+        + ROW.format(name="a.jpg") + " 99 98 97\n"      # 14 fields
+        + ROW.format(name="b.jpg") + " extra_tag\n"      # non-numeric tail
+    )
+    labels = parse_celeba_landmarks(_write(tmp_path, body))
+    assert set(labels) == {"a.jpg", "b.jpg"}
+    np.testing.assert_allclose(labels["a.jpg"][:2], [10, 20])
+    np.testing.assert_allclose(labels["a.jpg"][6:], [20, 40])
+
+
+def test_find_images_uppercase_extensions(tmp_path):
+    from PIL import Image
+
+    from tpgan_tpu.data.celeba import find_images
+
+    os.makedirs(tmp_path / "img")
+    for name in ("a.jpg", "B.JPG", "c.jpeg"):
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+            tmp_path / "img" / name
+        )
+    found = {os.path.basename(p) for p in find_images(str(tmp_path))}
+    assert found == {"a.jpg", "B.JPG"}  # .jpeg is a different suffix
+
+
+def test_train_dataset_pair_form_names(tmp_path):
+    """TrainDataset loads a pair-form-named item end to end: the frontal
+    twin resolves through the '05_1' camera label and the subject label
+    still comes from the first token."""
+    from PIL import Image
+
+    from tpgan_tpu.data.multipie import PART_NAMES, TrainDataset
+
+    root = tmp_path / "mp"
+    sizes = {"train": 128, "32x32": 32, "64x64": 64}
+    parts_hw = {"left_eye": (40, 40), "right_eye": (40, 40),
+                "nose": (32, 40), "mouth": (32, 48)}
+    names = ["007_01_01_11_0_00.png", "007_01_01_05_1_00.png"]
+    for sub, size in sizes.items():
+        os.makedirs(root / sub, exist_ok=True)
+        for n in names:
+            Image.fromarray(np.zeros((size, size, 3), np.uint8)).save(
+                root / sub / n
+            )
+    for part, (h, w) in parts_hw.items():
+        os.makedirs(root / "patch" / part, exist_ok=True)
+        for n in names:
+            Image.fromarray(np.zeros((h, w, 3), np.uint8)).save(
+                root / "patch" / part / n
+            )
+    ds = TrainDataset([str(root / "train" / names[0])])
+    item = ds[0]
+    assert int(item["label"]) == 7
+    assert item["img"].shape == (128, 128, 3)
+    assert item["img_frontal"].shape == (128, 128, 3)
+    for part in PART_NAMES:
+        assert (part + "_frontal") in item

@@ -204,6 +204,66 @@ def test_detect_lm5_tta_mirror_swap_and_fuse():
     assert np.asarray(valid).all()
 
 
+class _ScaleKeyedStubDetector:
+    """Centroid detector that sabotages the nose ONLY in the coarse
+    letterbox pass. The two passes are told apart by total image energy:
+    bilinear resampling scales the marker's summed intensity by ~s^2, and
+    the refine crop zooms far harder (s ~7) than the letterbox (s = 2),
+    so a low-sum frame is the coarse pass."""
+
+    head_mode = "absolute"
+
+    def clone(self, **kw):
+        return self
+
+    def apply(self, variables, x, train=False):
+        xf = x[..., 0].astype(jnp.float32)
+        tot = jnp.sum(xf, axis=(1, 2)) + 1e-9
+        ys = jnp.sum(
+            xf * jnp.arange(x.shape[1], dtype=jnp.float32)[None, :, None],
+            axis=(1, 2)) / tot
+        xs = jnp.sum(
+            xf * jnp.arange(x.shape[2], dtype=jnp.float32)[None, None, :],
+            axis=(1, 2)) / tot
+        c = jnp.stack([xs, ys], axis=-1)
+        offs = jnp.asarray(
+            [[-10.0, 0.0], [10.0, 0.0], [0.0, 10.0], [0.0, 20.0]]
+        )
+        loc = c[:, None, :] + offs[None]
+        cls = jnp.full((x.shape[0], 4, 5), -10.0)
+        cls = cls.at[:, jnp.arange(4), jnp.arange(4)].set(10.0)
+        coarse = tot < 10.0  # letterbox pass: marker energy ~ 2^2
+        bad_nose = jnp.asarray([200.0, 30.0])
+        loc = loc.at[:, 2, :].set(
+            jnp.where(coarse[:, None], bad_nose[None], loc[:, 2, :])
+        )
+        return loc, cls
+
+
+def test_detect_lm5_refine_repairs_nose_tail():
+    """refine=True: the zoom-crop second stage (geometry from the
+    reliable eyes+mouth points) re-detects in a face-filling frame and
+    maps back through the crop transform — repairing a catastrophic
+    coarse nose decode while keeping the good parts in place. This is
+    the serving-path mechanism for the round-4 nose >45 px tail."""
+    marker = np.asarray([60.0, 50.0])
+    img = np.zeros((1, 128, 128, 3), np.uint8)
+    img[0, int(marker[1]), int(marker[0]), :] = 255
+    det = _ScaleKeyedStubDetector()
+    # coarse pass alone: nose lands catastrophically far (>40 px)
+    lm5_c, _, _ = detect_lm5(det, {}, jnp.asarray(img), detector_size=256)
+    assert np.linalg.norm(np.asarray(lm5_c)[0, 2] - (marker + [0, 10])) > 40
+    lm5, valid, scores = jax.jit(
+        lambda im: detect_lm5(det, {}, im, detector_size=256, refine=True)
+    )(jnp.asarray(img))
+    lm5 = np.asarray(lm5)[0]
+    # every part round-trips the crop geometry back to the marker
+    # neighbourhood (crop-frame offsets shrink by ~1/s < 3 px)
+    for i in range(4):
+        assert np.linalg.norm(lm5[i] - marker) < 5.0, (i, lm5[i])
+    assert np.asarray(valid).all()
+
+
 def test_detect_lm5_tta_picks_confident_pass_on_disagreement():
     """When the two passes disagree beyond the radius, TTA keeps the
     higher-confidence point — the far-off low-score nose of the direct

@@ -205,6 +205,17 @@ def cmd_train(args) -> int:
             jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
         )
         fx_vars = restore_checkpoint(args.identity_checkpoint, fx_vars)
+        if fx_dtype == jnp.bfloat16:
+            # store the frozen params in bf16 outright: flax's dtype=
+            # bf16 would otherwise re-cast every f32 param on every
+            # step (a fusion boundary per conv — the suspected cost
+            # behind the round-4 probe's -6%, docs/BENCHMARKS.md).
+            # The checkpoint on disk stays f32; this cast is load-time.
+            fx_vars = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                fx_vars,
+            )
         identity_embed = make_identity_embed_fn(fx, fx_vars)
 
     steps_total = args.steps or cfg.train.num_epochs * max(
@@ -224,8 +235,39 @@ def cmd_train(args) -> int:
         data_dev = load_packed_to_device(args.packed)
         jax.block_until_ready(data_dev)
         print("[train] dataset resident in HBM", file=sys.stderr)
+        sample_weights = None
+        if cfg.train.yaw_weight_gamma > 0:
+            # per-item sampling weight from the camera token's yaw
+            # (see config.train.yaw_weight_gamma); items whose camera
+            # token is unknown (e.g. non-Multi-PIE names) weigh 1.0
+            from tpgan_tpu.data.multipie import camera_token
+            from tpgan_tpu.data.synthetic_faces import ALL_CAMERA_YAWS
+
+            gamma = float(cfg.train.yaw_weight_gamma)
+            names = ds.names if hasattr(ds, "names") else [
+                os.path.basename(p) for p in ds.img_list
+            ]
+            if names is None:
+                raise SystemExit(
+                    "train.yaw_weight_gamma needs per-item camera tokens"
+                    " but the packed index records no names and no"
+                    " sibling img.list matches — repack with the"
+                    " current pack_dataset"
+                )
+            yaws = np.asarray([
+                abs(ALL_CAMERA_YAWS.get(camera_token(n), 0.0))
+                for n in names
+            ])
+            sample_weights = 1.0 + gamma * (yaws / 90.0) ** 2
+            print(
+                f"[train] yaw-weighted sampling gamma={gamma}: "
+                f"max/min weight "
+                f"{sample_weights.max():.2f}/{sample_weights.min():.2f}",
+                file=sys.stderr,
+            )
         batches = device_batch_iterator(
-            data_dev, cfg.train.batch_size, seed=cfg.train.seed
+            data_dev, cfg.train.batch_size, seed=cfg.train.seed,
+            weights=sample_weights,
         )
     else:
         batches = prefetch_to_device(
@@ -312,8 +354,10 @@ def cmd_train_embedder(args) -> int:
         # hold out WHOLE SUBJECTS: the classifier never sees them, so
         # the validation Rank-1/identity-sim measures embedding
         # generalization (what the GAN eval needs), not memorization
+        from tpgan_tpu.data.multipie import camera_token
+
         subject = lambda p: int(os.path.basename(p).split("_")[0])
-        camera = lambda p: os.path.basename(p).split("_")[-2]
+        camera = lambda p: camera_token(p)
         subjects = sorted({subject(p) for p in img_list})
         held = set(subjects[-args.val_subjects:])
         val_list = [p for p in img_list if subject(p) in held]
@@ -418,6 +462,7 @@ def cmd_eval(args) -> int:
             cfg, detector, gen, detector_size=args.detector_size,
             tta=getattr(args, "detector_tta", False),
             allow_upscale=not getattr(args, "no_detector_upscale", False),
+            refine=getattr(args, "detector_refine", False),
         ))
 
     embed = None
@@ -516,9 +561,12 @@ def cmd_eval(args) -> int:
         )
         out["rank1"] = float(np.mean(correct))
 
-    # per-camera (yaw) breakdown — camera token = name.split('_')[-2],
-    # the Multi-PIE protocol key (DataAndDataset.py:203-205)
-    cams = [os.path.basename(p).split("_")[-2] for p in ds.img_list]
+    # per-camera (yaw) breakdown — flattened Multi-PIE camera token
+    # (DataAndDataset.py:203-205; pair-form labels normalise to the
+    # same key, data/multipie.camera_token)
+    from tpgan_tpu.data.multipie import camera_token
+
+    cams = [camera_token(p) for p in ds.img_list]
     if len(cams) != len(psnrs):
         print(f"warning: per-camera breakdown skipped — {len(cams)} listed "
               f"items but {len(psnrs)} evaluated (unreadable items were "
@@ -675,6 +723,7 @@ def cmd_export(args) -> int:
             detector_size=args.detector_size,
             tta=getattr(args, "detector_tta", False),
             allow_upscale=not getattr(args, "no_detector_upscale", False),
+            refine=getattr(args, "detector_refine", False),
             platforms=platforms,
             quant_scales=scales, rescale_dtype=rdt,
             min_channels=getattr(args, "int8_min_channels", None),
@@ -736,6 +785,7 @@ def cmd_frontalize(args) -> int:
         cfg, detector, gen, detector_size=args.detector_size,
         tta=getattr(args, "detector_tta", False),
         allow_upscale=not getattr(args, "no_detector_upscale", False),
+        refine=getattr(args, "detector_refine", False),
     ))
 
     os.makedirs(args.output, exist_ok=True)
@@ -860,6 +910,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--detector-tta", action="store_true",
                    help="horizontal-mirror detector TTA (one doubled "
                         "batch; suppresses rare far-off part decodes)")
+    p.add_argument("--detector-refine", action="store_true",
+                   help="second-stage zoom-crop re-detection "
+                        "(frontalize.refine_lm5; targets the nose "
+                        ">45 px letterbox tail)")
     p.add_argument("--no-detector-upscale", action="store_true",
                    help="letterbox small probes at native scale instead "
                         "of upscaling to the detector frame (the pre-r4 "
@@ -898,6 +952,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "below this (detection still commits to argmax)")
     p.add_argument("--detector-tta", action="store_true",
                    help="horizontal-mirror detector TTA")
+    p.add_argument("--detector-refine", action="store_true",
+                   help="second-stage zoom-crop re-detection")
     p.add_argument("--no-detector-upscale", action="store_true",
                    help="letterbox small inputs at native scale instead "
                         "of upscaling to the detector frame")
@@ -955,6 +1011,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "supported camera resolution")
     p.add_argument("--detector-size", type=int, default=256)
     p.add_argument("--detector-tta", action="store_true")
+    p.add_argument("--detector-refine", action="store_true")
     p.add_argument("--no-detector-upscale", action="store_true")
     p.add_argument("--platforms", default=None,
                    help="comma list of lowering targets to bake into the "

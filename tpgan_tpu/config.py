@@ -111,9 +111,32 @@ class TrainConfig:
     beta1: float = 0.5  # Adam betas, standard WGAN-GP practice
     beta2: float = 0.9
     seed: int = 0
-    remat: bool = False  # rematerialise the G forward in backward passes
+    remat: bool = False  # rematerialise activations in backward passes
     # (jax.checkpoint): trades recompute FLOPs for HBM, enabling larger
     # per-chip batches
+    remat_scope: str = "generator"  # which subgraph jax.checkpoint wraps
+    # when train.remat is on:
+    #   "generator" — the G forward (both phases); round 1-4 behaviour.
+    #   "critic"    — the critic only (all D applies incl. the GP
+    #                 double-backward and the G-phase adversarial term).
+    #                 The roofline decomposition showed G-forward remat
+    #                 recompute costs 182 GFLOP/img of the 876 total
+    #                 while the HBM wall is the critic/GP intermediates
+    #                 (docs/BENCHMARKS.md round-4 MFU table) — scoping
+    #                 remat to the critic keeps the memory relief where
+    #                 it matters and stops paying the G recompute.
+    #   "both"      — maximum memory relief.
+    yaw_weight_gamma: float = 0.0  # when > 0, bias training-batch
+    # sampling toward extreme-yaw items: item weight = 1 + gamma *
+    # (|yaw|/90)^2, yaw read from the Multi-PIE camera token in the
+    # filename (data/synthetic_faces.CAMERA_YAWS naming). gamma=3 makes
+    # a ±90° item ~4x as likely as a frontal one. Rationale: the round-4
+    # hard protocol localised the identity-quality floor to the ±90°
+    # bins (cameras 020/240 at ~0.69 identity_sim vs ≥0.93 in-dist,
+    # artifacts/eval_protocol300_hard_r4.json) — those bins need both
+    # corpus coverage (train on the full 13-camera ring) and enough
+    # sampling mass to matter in the loss. Host-side sampling only;
+    # the jitted step is unchanged.
     ema_decay: float = 0.99  # when > 0, keep an exponential moving
     # average of the generator weights updated inside the jitted step
     # (pure pytree lerp, fuses with the optimizer update); inference and

@@ -47,11 +47,16 @@ def parse_celeba_landmarks(txt_path: str) -> Dict[str, np.ndarray]:
         lines = f.read().splitlines()
     for line in lines[2:]:
         parts = line.split()
-        if len(parts) != 11:
+        # >= 11: rows from annotated CelebA variants append extra
+        # columns after the 10 coordinates (attribute dumps, bbox
+        # exports) — the first 10 numbers after the name are the
+        # landmark contract either way. <11 rows stay skipped (the
+        # reference's implicit len!=11 skip).
+        if len(parts) < 11:
             continue
         name = _basename_any_sep(parts[0])
         try:
-            v = [int(float(p)) for p in parts[1:]]
+            v = [int(float(p)) for p in parts[1:11]]
         except ValueError:
             continue
         lefteye = (v[0], v[1])

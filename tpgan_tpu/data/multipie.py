@@ -27,9 +27,37 @@ from tpgan_tpu.utils.misc import five_landmarks_from_68
 PART_NAMES = tuple(PATCH_SIZES.keys())
 
 
+# Real Multi-PIE camera labels carry an underscore ("05_1" is the
+# frontal camera); the reference's protocol flattens them to one token
+# ("051", DataAndDataset.py:203-205). Both spellings appear in the wild
+# — recordings distributed as <subject>_<session>_<recording>_<cc>_<r>_
+# <frame>.png keep the pair form — so the parsers accept either.
+MULTIPIE_CAMERA_PAIRS = frozenset(
+    f"{cc:02d}_{r}" for cc, r in (
+        (11, 0), (12, 0), (9, 0), (8, 0), (13, 0), (14, 0), (5, 1),
+        (5, 0), (4, 1), (19, 1), (20, 0), (1, 0), (24, 0), (8, 1),
+        (19, 0),
+    )
+)
+
+
+def camera_token(name: str) -> str:
+    """Flattened camera token of a Multi-PIE-style filename: '051' for
+    both ``001_01_051_00.png`` (flattened protocol) and
+    ``001_01_01_05_1_00.png`` (real pair-form labels)."""
+    parts = os.path.basename(name).split("_")
+    if len(parts) >= 3 and "_".join(parts[-3:-1]) in MULTIPIE_CAMERA_PAIRS:
+        return parts[-3] + parts[-2]
+    return parts[-2] if len(parts) >= 2 else ""
+
+
 def frontal_twin_path(path: str) -> str:
-    """Replace the camera token with '051' (DataAndDataset.py:203-205)."""
+    """Replace the camera token with the frontal camera
+    (DataAndDataset.py:203-205): '051' in the flattened protocol,
+    '05_1' when the filename uses real pair-form camera labels."""
     parts = path.split("_")
+    if len(parts) >= 3 and "_".join(parts[-3:-1]) in MULTIPIE_CAMERA_PAIRS:
+        return "_".join(parts[:-3] + ["05", "1", parts[-1]])
     if len(parts) < 2:
         return path
     parts[-2] = "051"

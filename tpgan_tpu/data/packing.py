@@ -31,6 +31,12 @@ def pack_dataset(dataset, out_dir: str, shard_size: int = 1024) -> None:
     keys = None
     shard_idx = 0
     meta: Dict = {"num_items": n, "shards": [], "keys": {}}
+    # record item basenames when the source exposes them: downstream
+    # consumers (yaw-weighted sampling) need the Multi-PIE camera token
+    # per packed index without re-reading the original img.list
+    src_list = getattr(dataset, "img_list", None)
+    if src_list is not None and len(src_list) == n:
+        meta["names"] = [os.path.basename(p) for p in src_list]
 
     for start in range(0, n, shard_size):
         items = [dataset[i] for i in range(start, min(start + shard_size, n))]
@@ -74,6 +80,23 @@ class PackedDataset:
 
     def __len__(self) -> int:
         return int(self.meta["num_items"])
+
+    @property
+    def names(self) -> Optional[List[str]]:
+        """Per-item source basenames, when recorded at pack time; falls
+        back to the ``img.list`` file next to the packed directory
+        (pre-round-5 packs) — ``pack_dataset`` consumed that list in
+        order, so index i of the pack is line i of the list."""
+        if "names" in self.meta:
+            return list(self.meta["names"])
+        sibling = os.path.join(os.path.dirname(
+            os.path.abspath(self.directory)), "img.list")
+        if os.path.exists(sibling):
+            with open(sibling) as f:
+                lines = [l.strip() for l in f if l.strip()]
+            if len(lines) == len(self):
+                return [os.path.basename(p) for p in lines]
+        return None
 
     def _shard_for(self, idx: int):
         shard = int(np.searchsorted(self._offsets, idx, side="right") - 1)
@@ -250,20 +273,39 @@ def device_bucketed_eval_batches(
 
 
 def device_batch_iterator(
-    data: Dict[str, "object"], batch_size: int, seed: int = 0
+    data: Dict[str, "object"], batch_size: int, seed: int = 0,
+    weights: Optional[np.ndarray] = None,
 ) -> Iterator[Dict[str, "object"]]:
     """Infinite iterator over on-device batches gathered by random index
     from a device-resident dataset (:func:`load_packed_to_device`).
 
     Per step the host only ships the index vector (batch_size x int32,
     ~0.5 KB) — the gather itself runs on device. Sampling is with
-    replacement (the i.i.d. regime the WGAN-GP critic assumes)."""
+    replacement (the i.i.d. regime the WGAN-GP critic assumes).
+
+    ``weights`` (len == dataset size, any positive scale) biases the
+    sampling distribution — used for yaw-weighted sampling, which
+    oversamples extreme-pose items so the rarest / hardest pose bins
+    see enough gradient signal (train.yaw_weight_gamma). Host-side
+    only: the jitted gather/step never sees the distribution change."""
     import jax
     import jax.numpy as jnp
 
     n = int(next(iter(data.values())).shape[0])
     take = jax.jit(lambda d, idx: jax.tree.map(lambda a: a[idx], d))
     rng = np.random.RandomState(seed)
+    p = None
+    if weights is not None:
+        p = np.asarray(weights, np.float64)
+        if p.shape != (n,):
+            raise ValueError(f"weights shape {p.shape} != ({n},)")
+        if (p < 0).any() or p.sum() <= 0:
+            raise ValueError("weights must be non-negative with a "
+                             "positive sum")
+        p = p / p.sum()
     while True:
-        idx = jnp.asarray(rng.randint(0, n, size=(batch_size,)), jnp.int32)
-        yield take(data, idx)
+        if p is None:
+            idx = rng.randint(0, n, size=(batch_size,))
+        else:
+            idx = rng.choice(n, size=(batch_size,), p=p)
+        yield take(data, jnp.asarray(idx, jnp.int32))

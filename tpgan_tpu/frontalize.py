@@ -69,6 +69,80 @@ def letterbox_batch(
     return x, scale, (pad_left, pad_top)
 
 
+def refine_lm5(
+    detector,
+    det_variables,
+    images: jnp.ndarray,   # (B, H, W, 3) uint8 or float in [0, 1]
+    pts: jnp.ndarray,      # (B, 4, 2) coarse source-frame part points
+    scores: jnp.ndarray,   # (B, 4) coarse per-part confidence
+    detector_size: int = 256,
+    confidence_threshold: float = 0.0,
+    zoom: float = 1.8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Second-stage landmark refinement: re-detect inside a per-image
+    zoom crop centred on the coarse face estimate, then map back.
+
+    Round-4 analysis localised the serving-quality damage to a bimodal
+    nose error (median 8.6 px but 15-17.5% of decodes >45 px,
+    artifacts/detector_error_serving_r4.json) that the raw-geometry
+    decode does not show (~0.06-0.09 tail for every checkpoint,
+    artifacts/decode_sweep_r4.json): the letterboxed serving frame both
+    shrinks the face below the detector's training distribution
+    (160-320 px of frame) and multiplies detector-frame error by 1/scale
+    on the way back. The refinement crop reverses both: the face fills
+    the frame (in-distribution), and the map-back DIVIDES the error by
+    the zoom factor.
+
+    The crop geometry uses the eyes+mouth coarse points only — those
+    parts are reliable (mean 6-9 px) while the nose owns the
+    catastrophic tail, so a bad nose never displaces its own repair
+    window. Per-image dynamic scale/translation ride
+    ``jax.image.scale_and_translate`` under ``vmap`` — traced scalars
+    with static output shapes, one fused XLA program, no host round
+    trip. Cost: one extra detector forward (<2% of a synthesis
+    program's FLOPs).
+
+    Returns (refined points (B, 4, 2) source frame, scores (B, 4));
+    parts whose refined confidence fails ``confidence_threshold`` keep
+    the coarse estimate.
+    """
+    x = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        x = x / 255.0
+    eyes_mouth = pts[:, jnp.asarray([0, 1, 3]), :]
+    centre = eyes_mouth.mean(axis=1)                            # (B, 2) xy
+    eye_d = jnp.linalg.norm(pts[:, 0] - pts[:, 1], axis=-1)
+    em_d = jnp.linalg.norm(pts[:, :2].mean(axis=1) - pts[:, 3], axis=-1)
+    half = jnp.maximum(jnp.maximum(eye_d, em_d) * zoom, 16.0)   # (B,)
+    s = detector_size / (2.0 * half)                            # (B,)
+    # label transform of the crop resample: out = s * in + t
+    t = detector_size / 2.0 - centre * s[:, None]               # (B, 2) xy
+
+    def crop_one(img, s_i, t_i):
+        return jax.image.scale_and_translate(
+            img, (detector_size, detector_size, 3), (0, 1, 2),
+            jnp.asarray([s_i, s_i, 1.0]),
+            # spatial_dims order (rows, cols, channel) = (y, x, c)
+            jnp.asarray([t_i[1], t_i[0], 0.0]),
+            method="linear",
+        )
+
+    boxed = jax.vmap(crop_one)(x, s, t)
+    loc, cls = detector.apply(det_variables, boxed, train=False)
+    decoded = decode_for_head_mode(
+        getattr(detector, "head_mode", "absolute"), confidence_threshold
+    )(loc, cls)
+    rpts = decoded.points[:, :4, 0, :]
+    rvalid = decoded.valid[:, :4, 0]
+    rscores = decoded.scores[:, :4, 0]
+    rpts = (rpts - t[:, None, :]) / s[:, None, None]
+    keep = rvalid[..., None]
+    return (
+        jnp.where(keep, rpts, pts),
+        jnp.where(rvalid, rscores, scores),
+    )
+
+
 def detect_lm5(
     detector,
     det_variables,
@@ -78,6 +152,7 @@ def detect_lm5(
     tta: bool = False,
     tta_agree_radius: float = 15.0,
     allow_upscale: bool = True,
+    refine: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Detect the 4 part landmarks and expand to the 5-point synthesis
     convention. Returns (lm5 (B, 5, 2) source-frame pixels, valid (B, 4)
@@ -141,6 +216,16 @@ def detect_lm5(
         valid = scores > confidence_threshold
     pad = jnp.asarray([pad_left, pad_top], jnp.float32)
     pts = (pts - pad[None, None, :]) / scale
+    if refine:
+        # second pass in a per-image zoom crop (see refine_lm5) —
+        # targets the catastrophic nose tail the letterbox frame causes
+        pts, scores = refine_lm5(
+            detector, det_variables, images, pts, scores,
+            detector_size=detector_size,
+            confidence_threshold=confidence_threshold,
+        )
+        valid = scores > confidence_threshold if confidence_threshold \
+            else valid
     # 5-point form: mouth midpoint duplicated into both corner slots
     lm5 = jnp.concatenate([pts, pts[:, 3:4, :]], axis=1)
     return lm5, valid, scores
@@ -153,6 +238,7 @@ def make_frontalize_fn(
     detector_size: int = 256,
     tta: bool = False,
     allow_upscale: bool = True,
+    refine: bool = False,
     quant_scales=None,
     quant_rescale_dtype=None,
     quant_min_channels=None,
@@ -199,7 +285,7 @@ def make_frontalize_fn(
     def frontalize(g_params, det_variables, images, z, batch_stats=None):
         lm5, _valid, scores = detect_lm5(
             detector, det_variables, images, detector_size=detector_size,
-            tta=tta, allow_upscale=allow_upscale,
+            tta=tta, allow_upscale=allow_upscale, refine=refine,
         )
         batch = preprocess_for_synthesis_lm5(images, lm5)
         fake = synthesize(g_params, batch, z, batch_stats=batch_stats)

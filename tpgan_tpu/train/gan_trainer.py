@@ -229,11 +229,35 @@ def make_gan_train_step(
     def g_forward(g_params, g_stats, batch: Batch, z, drop_rng):
         return _g_forward_with(gen, g_params, g_stats, batch, z, drop_rng)
 
-    if cfg.train.remat:
+    remat_scope = str(
+        getattr(cfg.train, "remat_scope", "generator") or "generator"
+    )
+    if cfg.train.remat and remat_scope not in ("generator", "critic", "both"):
+        raise ValueError(
+            f"train.remat_scope={remat_scope!r}: expected "
+            "'generator' | 'critic' | 'both'"
+        )
+    if cfg.train.remat and remat_scope in ("generator", "both"):
         # rematerialise the generator forward during backward: activations
         # are recomputed instead of held in HBM (jax.checkpoint), letting
         # the per-chip batch grow past the activation-memory wall
         g_forward = jax.checkpoint(g_forward)
+    remat_critic = bool(cfg.train.remat) and remat_scope in ("critic", "both")
+
+    def _critic_core(d_params_, stats, x):
+        """One critic apply as a pure function of (params, stats, input)
+        so ``jax.checkpoint`` can rematerialise it — this covers the
+        WGAN-GP double backward (grad w.r.t. d_params of grad w.r.t. x),
+        whose saved intermediates are the measured per-chip HBM wall
+        (docs/BENCHMARKS.md)."""
+        out, mutated = disc.apply(
+            {"params": d_params_, "batch_stats": stats},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return out, dict(mutated.get("batch_stats", {}))
+
+    if remat_critic:
+        _critic_core = jax.checkpoint(_critic_core)
 
     def d_phase(g_params, g_stats_in, d_params, d_base_stats,
                 batch: Batch, z, gp_rng, drop_rng):
@@ -250,17 +274,11 @@ def make_gan_train_step(
             # real-images pass only (the fake/GP passes normalise with
             # their own batch stats but don't advance the running ones —
             # output-equivalent to torch's sequential updates)
-            def critic(x, stats, update=False):
-                out, mutated = disc.apply(
-                    {"params": d_params_, "batch_stats": stats},
-                    x, train=True, mutable=["batch_stats"],
-                )
-                return (out, dict(mutated.get("batch_stats", {}))) if update else out
-
-            real_scores, d_stats = critic(real, d_base_stats, update=True)
-            fake_scores = critic(fake_for_d, d_base_stats)
+            real_scores, d_stats = _critic_core(d_params_, d_base_stats, real)
+            fake_scores, _ = _critic_core(d_params_, d_base_stats, fake_for_d)
             gp = gradient_penalty(
-                lambda x: critic(x, d_base_stats), real, fake_for_d, gp_rng
+                lambda x: _critic_core(d_params_, d_base_stats, x)[0],
+                real, fake_for_d, gp_rng,
             )
             w_loss = discriminator_loss(real_scores, fake_scores)
             loss = w_loss + loss_cfg.weight_gradient_penalty * gp
@@ -290,10 +308,7 @@ def make_gan_train_step(
             out, new_g_stats = g_forward(
                 g_params_, g_stats_in, batch, z, drop_rng
             )
-            fake_scores = disc.apply(
-                {"params": d_params, "batch_stats": d_stats},
-                out.img128_fake, train=True, mutable=["batch_stats"],
-            )[0]
+            fake_scores, _ = _critic_core(d_params, d_stats, out.img128_fake)
             comps = generator_loss_components(
                 fake128=out.img128_fake,
                 fake_scores=fake_scores,
