@@ -72,10 +72,10 @@ EV="python -m tpgan_tpu.cli eval --batch-size 16 --z-samples 1 \
     --set G.upsample_mode=resize_conv \
     --identity-checkpoint runs/embedder_v2/ckpt"
 timeout 1800 $EV --checkpoint "$ROOT/b128/ckpt" \
-    > artifacts/eval_accum_ab_b128_r4.json
+    > artifacts/eval_accum_ab_b128_r5.json
 timeout 1800 $EV --checkpoint "$ROOT/b512_accum4/ckpt" \
-    > artifacts/eval_accum_ab_b512_r4.json
-for f in artifacts/eval_accum_ab_*_r4.json; do
+    > artifacts/eval_accum_ab_b512_r5.json
+for f in artifacts/eval_accum_ab_*_r5.json; do
   echo "== $f"
   python -c "
 import json; d=json.load(open('$f'))
