@@ -71,6 +71,12 @@ def main() -> int:
                     help="add the second-stage zoom-crop refinement "
                          "(frontalize.refine_lm5) on top of --serving/"
                          "--tta")
+    ap.add_argument("--no-nose-gate", action="store_true",
+                    help="disable the shape-prior nose plausibility "
+                         "gate (the ungated control arm)")
+    ap.add_argument("--dump-points", default=None,
+                    help="write per-image decoded points + gt to this "
+                         ".npz for offline decode-knob sweeps")
     args = ap.parse_args()
 
     buckets = tuple(int(b) for b in args.buckets.split(","))
@@ -92,13 +98,18 @@ def main() -> int:
 
     if args.tta or args.serving:
         from tpgan_tpu.frontalize import detect_lm5
+        from tpgan_tpu.train.pretrain import load_nose_prior
+
+        nose_prior = (
+            None if args.no_nose_gate else load_nose_prior(args.checkpoint)
+        )
 
         @jax.jit
         def detect(images):
             lm5, _valid, scores = detect_lm5(
                 model, variables, images,
                 detector_size=args.detector_size, tta=args.tta,
-                refine=args.refine,
+                refine=args.refine, nose_prior=nose_prior,
             )
             return lm5[:, :4, :], scores
     else:
@@ -110,6 +121,7 @@ def main() -> int:
 
     errs = {part: [] for part in PARTS}
     confs = {part: [] for part in PARTS}
+    all_pts, all_gt = [], []
     for images, labels in bucketed_batch_iterator(
         ds, args.batch_size, shuffle=False, indices=val_idx, epochs=1,
         drop_last=False,
@@ -122,6 +134,14 @@ def main() -> int:
         for i, part in enumerate(PARTS):
             errs[part].extend(d[:, i].tolist())
             confs[part].extend(scores[:, i].tolist())
+        all_pts.append(pts)
+        all_gt.append(gt)
+
+    if args.dump_points:
+        # raw per-image decodes + ground truth: offline decode-knob
+        # sweeps (e.g. the nose-gate ratio) without re-running the model
+        np.savez(args.dump_points,
+                 pts=np.concatenate(all_pts), gt=np.concatenate(all_gt))
 
     out = {"n": len(next(iter(errs.values()))), "bands": {}}
     total_w = []

@@ -257,11 +257,98 @@ def test_detect_lm5_refine_repairs_nose_tail():
         lambda im: detect_lm5(det, {}, im, detector_size=256, refine=True)
     )(jnp.asarray(img))
     lm5 = np.asarray(lm5)[0]
-    # every part round-trips the crop geometry back to the marker
-    # neighbourhood (crop-frame offsets shrink by ~1/s < 3 px)
-    for i in range(4):
-        assert np.linalg.norm(lm5[i] - marker) < 5.0, (i, lm5[i])
+    # the nose re-detects in the crop and round-trips its geometry back
+    # to the marker neighbourhood (crop-frame offsets shrink by ~1/s)
+    assert np.linalg.norm(lm5[2] - marker) < 5.0, lm5[2]
+    # eyes/mouth were never broken: refine leaves their coarse serving
+    # estimates in place (source-frame offsets +-5/10 px from the marker)
+    coarse_offs = np.asarray([[-5.0, 0.0], [5.0, 0.0], [0.0, 10.0]])
+    np.testing.assert_allclose(
+        lm5[[0, 1, 3]], marker + coarse_offs, atol=1.0
+    )
     assert np.asarray(valid).all()
+
+
+def test_fit_nose_prior_recovers_linear_shape_and_roundtrips(tmp_path):
+    """fit_nose_prior recovers a linear nose placement from annotations
+    (ridge shrinkage stays small next to real geometric variance) and
+    the (7, 2) matrix round-trips through the detector_meta sidecar."""
+    from tpgan_tpu.config import make_config
+    from tpgan_tpu.train.pretrain import (
+        fit_nose_prior,
+        load_nose_prior,
+        write_detector_meta,
+    )
+
+    rng = np.random.RandomState(0)
+    le = rng.rand(500, 2) * 100 + 50
+    re = le + [60.0, 0.0] + rng.randn(500, 2) * 12
+    mouth = le + [30.0, 55.0] + rng.randn(500, 2) * 12
+    nose = 0.3 * le + 0.3 * re + 0.4 * mouth + [1.0, -4.0]
+    labels = np.stack([le, re, nose, mouth], axis=1)  # (N, 4, 2)
+    W = fit_nose_prior(labels, noise_sigma=0.5)
+    assert W.shape == (7, 2)
+    X = np.concatenate([le, re, mouth, np.ones((500, 1))], axis=1)
+    err = np.linalg.norm(X @ W - nose, axis=1)
+    assert err.mean() < 2.0, err.mean()
+
+    d = tmp_path / "ckpt"
+    write_detector_meta(str(d), make_config(), nose_prior=W)
+    np.testing.assert_allclose(load_nose_prior(str(d)), W, rtol=1e-6)
+    # sidecar without a prior -> None (pre-round-5 checkpoints)
+    d2 = tmp_path / "old"
+    write_detector_meta(str(d2), make_config())
+    assert load_nose_prior(str(d2)) is None
+
+
+def test_detect_lm5_nose_gate_snaps_implausible_decode():
+    """The shape-prior plausibility gate: a nose decode far from the
+    [le, re, mouth] prior prediction snaps TO the prior; an in-gate
+    decode passes through untouched, and the other parts never move."""
+    h, w, size = 180, 120, 256  # scale 1, centred pads
+    pl, pt = (size - w) // 2, (size - h) // 2
+    src_pts = np.asarray(
+        [[30.0, 60.0], [80.0, 58.0], [55.0, 90.0], [54.0, 130.0]], np.float32
+    )
+    # prior encodes nose = (le + re)/2 + (0, 31)  (exact for src_pts up
+    # to the [0, 1] residual picked up by the bias row)
+    W = np.zeros((7, 2), np.float32)
+    W[0:2, 0] = [0.5, 0.0]
+    W[2:4, 0] = [0.5, 0.0]
+    W[0:2, 1] = [0.0, 0.5]
+    W[2:4, 1] = [0.0, 0.5]
+    W[6] = [0.0, 31.0]
+    prior_pred = np.asarray([55.0, 90.0], np.float32)
+    images = jnp.zeros((1, h, w, 3), jnp.uint8)
+    off = np.asarray([pl, pt], np.float32)
+
+    # in-gate decode (eye distance 50 -> gate 22.5 px): untouched
+    det = _StubDetector(src_pts + off)
+    lm5, _, _ = detect_lm5(
+        det, {}, images, detector_size=size, allow_upscale=False,
+        nose_prior=W,
+    )
+    np.testing.assert_allclose(np.asarray(lm5)[0, :4], src_pts, atol=1e-3)
+
+    # catastrophic decode: snaps exactly to the prior prediction
+    bad = src_pts.copy()
+    bad[2] = [200.0, 20.0]
+    det = _StubDetector(bad + off)
+    lm5, _, _ = detect_lm5(
+        det, {}, images, detector_size=size, allow_upscale=False,
+        nose_prior=W,
+    )
+    got = np.asarray(lm5)[0]
+    np.testing.assert_allclose(got[2], prior_pred, atol=1e-3)
+    np.testing.assert_allclose(
+        got[[0, 1, 3]], src_pts[[0, 1, 3]], atol=1e-3
+    )
+
+    # no prior -> no gate: the catastrophic decode survives
+    lm5, _, _ = detect_lm5(
+        det, {}, images, detector_size=size, allow_upscale=False
+    )
+    np.testing.assert_allclose(np.asarray(lm5)[0, 2], [200.0, 20.0], atol=1e-3)
 
 
 def test_detect_lm5_tta_picks_confident_pass_on_disagreement():

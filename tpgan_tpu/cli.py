@@ -61,6 +61,18 @@ def _build_config(args):
     return cfg
 
 
+def _nose_prior_for(args):
+    """The serving nose plausibility gate's shape prior (fit at pretrain
+    time, shipped in the checkpoint's detector_meta.json) — or None when
+    the sidecar predates round 5 or ``--no-nose-gate`` asks for the
+    ungated control arm."""
+    if getattr(args, "no_nose_gate", False):
+        return None
+    from tpgan_tpu.train.pretrain import load_nose_prior
+
+    return load_nose_prior(args.detector_checkpoint)
+
+
 def cmd_pretrain(args) -> int:
     import jax
 
@@ -76,6 +88,15 @@ def cmd_pretrain(args) -> int:
     )
     train_idx, val_idx, _ = ds.split(p.train_data_ratio, p.validation_data_ratio)
     steps_per_epoch = max(len(train_idx) // p.batch_size, 1)
+
+    # serving-decode shape prior from the TRAIN-split annotations only
+    # (the val split stays untouched for the error analyses); ships in
+    # detector_meta.json next to head_mode
+    from tpgan_tpu.train.pretrain import fit_nose_prior
+
+    nose_prior = fit_nose_prior(np.stack([
+        ds.labels[os.path.basename(ds.image_paths[i])] for i in train_idx
+    ]))
 
     if getattr(args, "device_data", False):
         # whole dataset HBM-resident (per-bucket uint8 stacks), batches
@@ -141,6 +162,7 @@ def cmd_pretrain(args) -> int:
         writer=writer,
         checkpoint_dir=args.checkpoint or cfg.train.checkpoint_dir,
         resume=args.resume,
+        nose_prior=nose_prior,
     )
     writer.close()
     return 0
@@ -463,6 +485,7 @@ def cmd_eval(args) -> int:
             tta=getattr(args, "detector_tta", False),
             allow_upscale=not getattr(args, "no_detector_upscale", False),
             refine=getattr(args, "detector_refine", False),
+            nose_prior=_nose_prior_for(args),
         ))
 
     embed = None
@@ -724,6 +747,7 @@ def cmd_export(args) -> int:
             tta=getattr(args, "detector_tta", False),
             allow_upscale=not getattr(args, "no_detector_upscale", False),
             refine=getattr(args, "detector_refine", False),
+            nose_prior=_nose_prior_for(args),
             platforms=platforms,
             quant_scales=scales, rescale_dtype=rdt,
             min_channels=getattr(args, "int8_min_channels", None),
@@ -786,6 +810,7 @@ def cmd_frontalize(args) -> int:
         tta=getattr(args, "detector_tta", False),
         allow_upscale=not getattr(args, "no_detector_upscale", False),
         refine=getattr(args, "detector_refine", False),
+        nose_prior=_nose_prior_for(args),
     ))
 
     os.makedirs(args.output, exist_ok=True)
@@ -914,6 +939,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="second-stage zoom-crop re-detection "
                         "(frontalize.refine_lm5; targets the nose "
                         ">45 px letterbox tail)")
+    p.add_argument("--no-nose-gate", action="store_true",
+                   help="disable the shape-prior nose plausibility gate "
+                        "(the ungated control arm; the gate is on "
+                        "whenever the detector checkpoint ships a "
+                        "nose_prior in detector_meta.json)")
     p.add_argument("--no-detector-upscale", action="store_true",
                    help="letterbox small probes at native scale instead "
                         "of upscaling to the detector frame (the pre-r4 "
@@ -954,6 +984,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="horizontal-mirror detector TTA")
     p.add_argument("--detector-refine", action="store_true",
                    help="second-stage zoom-crop re-detection")
+    p.add_argument("--no-nose-gate", action="store_true",
+                   help="disable the shape-prior nose plausibility gate")
     p.add_argument("--no-detector-upscale", action="store_true",
                    help="letterbox small inputs at native scale instead "
                         "of upscaling to the detector frame")
@@ -1012,6 +1044,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--detector-size", type=int, default=256)
     p.add_argument("--detector-tta", action="store_true")
     p.add_argument("--detector-refine", action="store_true")
+    p.add_argument("--no-nose-gate", action="store_true")
     p.add_argument("--no-detector-upscale", action="store_true")
     p.add_argument("--platforms", default=None,
                    help="comma list of lowering targets to bake into the "

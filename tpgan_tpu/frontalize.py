@@ -78,6 +78,7 @@ def refine_lm5(
     detector_size: int = 256,
     confidence_threshold: float = 0.0,
     zoom: float = 1.8,
+    parts: Tuple[int, ...] = (2,),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Second-stage landmark refinement: re-detect inside a per-image
     zoom crop centred on the coarse face estimate, then map back.
@@ -105,6 +106,15 @@ def refine_lm5(
     Returns (refined points (B, 4, 2) source frame, scores (B, 4));
     parts whose refined confidence fails ``confidence_threshold`` keep
     the coarse estimate.
+
+    ``parts`` selects WHICH part indices the refined pass may replace
+    (default: nose only). The round-5 all-parts measurement
+    (artifacts/detector_error_refine_allparts_r5.json) showed refine
+    helping exactly the part that owns the tail (nose over-45px 0.175
+    -> 0.10, p90 74 -> 34 px) while slightly hurting the already-good
+    eyes (mean 9.2 -> 12.5 px, a fresh 0.0125 tail) — the coarse
+    serving decode is the better estimator for parts that were never
+    broken, so they keep it.
     """
     x = images.astype(jnp.float32)
     if images.dtype == jnp.uint8:
@@ -136,10 +146,11 @@ def refine_lm5(
     rvalid = decoded.valid[:, :4, 0]
     rscores = decoded.scores[:, :4, 0]
     rpts = (rpts - t[:, None, :]) / s[:, None, None]
-    keep = rvalid[..., None]
+    part_mask = jnp.zeros((4,), bool).at[jnp.asarray(parts)].set(True)
+    keep = rvalid & part_mask[None, :]
     return (
-        jnp.where(keep, rpts, pts),
-        jnp.where(rvalid, rscores, scores),
+        jnp.where(keep[..., None], rpts, pts),
+        jnp.where(keep, rscores, scores),
     )
 
 
@@ -153,6 +164,8 @@ def detect_lm5(
     tta_agree_radius: float = 15.0,
     allow_upscale: bool = True,
     refine: bool = False,
+    nose_prior=None,
+    nose_gate_ratio: float = 0.45,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Detect the 4 part landmarks and expand to the 5-point synthesis
     convention. Returns (lm5 (B, 5, 2) source-frame pixels, valid (B, 4)
@@ -177,6 +190,18 @@ def detect_lm5(
     frame error back 1:1; upscaled, the same error divides by the scale
     factor (2x for 128->256 — measured in
     artifacts/serving_scale_probe_r4.json).
+
+    ``nose_prior`` (the (7, 2) ridge fit from
+    train.pretrain.fit_nose_prior, shipped in detector_meta.json)
+    enables the plausibility gate: the nose decode is bimodal (median
+    8.6 px, but 10-17.5% of serving decodes land >45 px off — the
+    single part owning the round-4 full-stack identity damage), so a
+    nose further than ``nose_gate_ratio * eye_distance`` from the
+    shape-prior prediction ``[le, re, mouth, 1] @ W`` snaps TO the
+    prior. The gate only ever activates on decodes that are
+    implausible under the training corpus' face geometry; inliers pass
+    through untouched. Applied after TTA and refine (their fused
+    estimates feed the prior's features).
     """
     boxed, scale, (pad_left, pad_top) = letterbox_batch(
         images, detector_size, allow_upscale=allow_upscale
@@ -226,6 +251,18 @@ def detect_lm5(
         )
         valid = scores > confidence_threshold if confidence_threshold \
             else valid
+    if nose_prior is not None:
+        W = jnp.asarray(nose_prior, jnp.float32)  # (7, 2)
+        feats = jnp.concatenate(
+            [pts[:, 0], pts[:, 1], pts[:, 3],
+             jnp.ones((pts.shape[0], 1), pts.dtype)], axis=1
+        )
+        prior = feats @ W                                       # (B, 2)
+        eye_d = jnp.linalg.norm(pts[:, 0] - pts[:, 1], axis=-1)
+        gate = nose_gate_ratio * jnp.maximum(eye_d, 16.0)
+        off = jnp.linalg.norm(pts[:, 2] - prior, axis=-1)
+        snap = (off > gate)[:, None]
+        pts = pts.at[:, 2, :].set(jnp.where(snap, prior, pts[:, 2]))
     # 5-point form: mouth midpoint duplicated into both corner slots
     lm5 = jnp.concatenate([pts, pts[:, 3:4, :]], axis=1)
     return lm5, valid, scores
@@ -239,6 +276,8 @@ def make_frontalize_fn(
     tta: bool = False,
     allow_upscale: bool = True,
     refine: bool = False,
+    nose_prior=None,
+    nose_gate_ratio: float = 0.45,
     quant_scales=None,
     quant_rescale_dtype=None,
     quant_min_channels=None,
@@ -286,6 +325,7 @@ def make_frontalize_fn(
         lm5, _valid, scores = detect_lm5(
             detector, det_variables, images, detector_size=detector_size,
             tta=tta, allow_upscale=allow_upscale, refine=refine,
+            nose_prior=nose_prior, nose_gate_ratio=nose_gate_ratio,
         )
         batch = preprocess_for_synthesis_lm5(images, lm5)
         fake = synthesize(g_params, batch, z, batch_stats=batch_stats)

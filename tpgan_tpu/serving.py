@@ -106,6 +106,7 @@ def export_frontalize(
     batch: int = 8, input_hw: Tuple[int, int] = (128, 128),
     detector_size: int = 256, tta: bool = False,
     allow_upscale: bool = True, refine: bool = False,
+    nose_prior=None,
     platforms: Optional[Tuple[str, ...]] = None,
     quant_scales=None, rescale_dtype=None,
     min_channels: Optional[int] = None,
@@ -143,6 +144,7 @@ def export_frontalize(
     frontalize = make_frontalize_fn(
         cfg, detector, gen, detector_size=detector_size, tta=tta,
         allow_upscale=allow_upscale, refine=refine,
+        nose_prior=nose_prior,
         quant_scales=quant_scales,
         quant_rescale_dtype=rescale_dtype,
         quant_min_channels=min_channels,
