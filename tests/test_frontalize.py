@@ -351,6 +351,54 @@ def test_detect_lm5_nose_gate_snaps_implausible_decode():
     np.testing.assert_allclose(np.asarray(lm5)[0, 2], [200.0, 20.0], atol=1e-3)
 
 
+def test_detect_lm5_refine_prior_three_way_vote():
+    """refine + nose_prior = pairwise-agreement vote between the coarse
+    decode, the zoom-crop re-detection, and the shape prior: whichever
+    two concur win, so one bad estimator never decides the nose. Here
+    the coarse nose is catastrophic while refined and prior agree — the
+    refined estimate wins (snapping to the prior alone would too, but
+    the vote must pick refined, the better of the agreeing pair)."""
+    marker = np.asarray([60.0, 50.0])
+    img = np.zeros((1, 128, 128, 3), np.uint8)
+    img[0, int(marker[1]), int(marker[0]), :] = 255
+    det = _ScaleKeyedStubDetector()  # coarse pass: nose at (200, 30)
+    # prior encodes nose = eye_mid + (0, 10): exact for this stub's
+    # geometry (eyes at marker +- (10, 0), nose at marker + (0, 10))
+    W = np.zeros((7, 2), np.float32)
+    W[0:2, 0] = [0.5, 0.0]
+    W[2:4, 0] = [0.5, 0.0]
+    W[0:2, 1] = [0.0, 0.5]
+    W[2:4, 1] = [0.0, 0.5]
+    W[6] = [0.0, 10.0]
+    lm5, valid, _ = jax.jit(
+        lambda im: detect_lm5(
+            det, {}, im, detector_size=256, refine=True, nose_prior=W
+        )
+    )(jnp.asarray(img))
+    lm5 = np.asarray(lm5)[0]
+    # refined-and-prior agree near marker + (0, 10); coarse (200, 30)
+    # loses despite its high confidence
+    np.testing.assert_allclose(lm5[2], marker + [0.0, 10.0], atol=5.0)
+    # eyes/mouth keep the coarse serving estimates
+    coarse_offs = np.asarray([[-5.0, 0.0], [5.0, 0.0], [0.0, 10.0]])
+    np.testing.assert_allclose(
+        lm5[[0, 1, 3]], marker + coarse_offs, atol=1.0
+    )
+
+    # bad PRIOR, good coarse+refined: their agreement outvotes it
+    W_bad = W.copy()
+    W_bad[6] = [500.0, 500.0]
+    det_ok = _ContentStubDetector()  # both passes consistent
+    lm5b, _, _ = detect_lm5(
+        det_ok, {}, jnp.asarray(img), detector_size=256,
+        refine=True, nose_prior=W_bad,
+    )
+    # the agreeing pair's mean stays in the marker neighbourhood
+    # (coarse ~marker+(0,5), refined ~marker+(0,1)); the poisoned prior
+    # at (560, 560) never wins
+    assert np.linalg.norm(np.asarray(lm5b)[0, 2] - marker) < 8.0
+
+
 def test_detect_lm5_tta_picks_confident_pass_on_disagreement():
     """When the two passes disagree beyond the radius, TTA keeps the
     higher-confidence point — the far-off low-score nose of the direct
