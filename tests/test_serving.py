@@ -177,6 +177,49 @@ def test_export_frontalize_roundtrip(tmp_path):
                                rtol=1e-5, atol=1e-4)
 
 
+def test_export_frontalize_vote_roundtrip(tmp_path):
+    """Full-stack artifact with the round-5 serving decode hardening
+    baked in (TTA + nose-only refine + shape-prior 3-way vote): the
+    graph serialises (pure jnp ops — two extra detector forwards and
+    the vote selects) and the deserialized outputs match the live
+    program."""
+    from tpgan_tpu.frontalize import make_frontalize_fn
+    from tpgan_tpu.serving import export_frontalize
+    from tpgan_tpu.train.pretrain import create_pretrain_state
+
+    det_state, detector, _tx = create_pretrain_state(
+        CFG, jax.random.PRNGKey(0)
+    )
+    det_vars = {"params": det_state.params,
+                "batch_stats": det_state.batch_stats}
+    state, gen, *_ = create_gan_state(CFG, jax.random.PRNGKey(1))
+    rng = np.random.RandomState(1)
+    prior = (rng.rand(7, 2) * 0.3).astype(np.float32)
+
+    path = str(tmp_path / "frontalize_vote.stablehlo")
+    export_frontalize(
+        CFG, detector, det_vars, gen, state.g_params, path,
+        batch=2, input_hw=(96, 80), detector_size=128,
+        tta=True, refine=True, nose_prior=prior,
+    )
+
+    fn = load_synthesis(path)
+    images = jnp.asarray((rng.rand(2, 96, 80, 3) * 255).astype(np.uint8))
+    z = jnp.zeros((2, CFG.G.zdim), jnp.float32)
+    fake, lm5, scores = fn(images, z)
+    assert fake.shape == (2, 128, 128, 3)
+
+    live = jax.jit(make_frontalize_fn(
+        CFG, detector, gen, detector_size=128,
+        tta=True, refine=True, nose_prior=prior,
+    ))
+    fake_l, lm5_l, _ = live(state.g_params, det_vars, images, z)
+    np.testing.assert_allclose(np.asarray(fake), np.asarray(fake_l),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lm5), np.asarray(lm5_l),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_export_frontalize_int8_roundtrip(tmp_path):
     """Full-stack artifact with an int8 PTQ generator stage: loaded
     output must match the live int8 frontalize program."""
